@@ -1,0 +1,328 @@
+"""Frozen dataclass configuration schema + named presets.
+
+The reference drove everything through argparse flags on its entry scripts
+(SURVEY.md §5 "Config / flag system"); here a single immutable config tree is
+the source of truth, CLI flags override fields, and each of the five
+BASELINE.json configs is a checked-in preset (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Sequence, Tuple
+
+
+def _freeze(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    """Prior-box (anchor) generation parameters.
+
+    SSD-paper defaults (arXiv:1512.02325 §2.2): per-level scales with extra
+    sqrt(s_k * s_{k+1}) box for aspect ratio 1, variances 0.1/0.2.
+    """
+
+    # Per-level feature-map sizes (square), derived from the model but kept
+    # here so anchors can be generated without instantiating the model.
+    feature_sizes: Tuple[int, ...] = (38, 19, 10, 5, 3, 1)
+    # Per-level anchor box sizes in input pixels: (min_size, max_size).
+    # The extra sqrt-scale anchor uses sqrt(min*max).
+    sizes: Tuple[Tuple[float, float], ...] = (
+        (30.0, 60.0),
+        (60.0, 111.0),
+        (111.0, 162.0),
+        (162.0, 213.0),
+        (213.0, 264.0),
+        (264.0, 315.0),
+    )
+    # Per-level aspect ratios beyond 1 (each `r` contributes boxes with
+    # ratios r and 1/r). (2,) -> 4 anchors/loc; (2, 3) -> 6 anchors/loc.
+    aspect_ratios: Tuple[Tuple[float, ...], ...] = ((2.0,), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0), (2.0,), (2.0,))
+    # Encoding variances for (center, size) — SSD convention.
+    center_variance: float = 0.1
+    size_variance: float = 0.2
+    clip: bool = True
+
+    @property
+    def anchors_per_level(self) -> Tuple[int, ...]:
+        # per location: 2 (scale s_k and sqrt-scale) + 2 per extra ratio
+        return tuple(2 + 2 * len(r) for r in self.aspect_ratios)
+
+    @property
+    def num_anchors(self) -> int:
+        return sum(
+            f * f * a for f, a in zip(self.feature_sizes, self.anchors_per_level)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """GT↔anchor assignment (SSD-paper matching; knobs per SURVEY.md §7
+    'hard parts' #2 — these silently move mAP, so all are explicit)."""
+
+    positive_iou: float = 0.5
+    # Anchors with best-IoU in [negative_iou, positive_iou) are "ignored"
+    # (RetinaNet-style ignore band). For SSD set negative_iou == positive_iou.
+    negative_iou: float = 0.5
+    # Force-match the best anchor for every GT even below the threshold.
+    force_match_best: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    family: str = "ssd"  # "ssd" | "retinanet"
+    backbone: str = "vgg16"  # "vgg16" | "resnet50"
+    image_size: int = 300
+    num_classes: int = 20  # foreground classes (VOC=20, COCO=80)
+    # Head widths etc.
+    fpn_channels: int = 256
+    head_depth: int = 4  # retinanet head conv depth
+    # L2Norm initial scale on conv4_3 tap (SSD paper §3 / ParseNet).
+    l2norm_scale: float = 20.0
+    # Compute dtype for conv stacks; params stay float32.
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def num_levels(self) -> int:
+        if self.family == "retinanet":
+            return 5
+        return 7 if self.image_size >= 512 else 6
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """On-device augmentation (BASELINE north-star: fused preprocessing)."""
+
+    hflip_prob: float = 0.5
+    # SSD-style random min-IoU crop: candidate crops sampled inside jit,
+    # first valid picked by mask (no rejection loops — SURVEY.md §7 #3).
+    crop_prob: float = 0.875
+    crop_candidates: int = 16
+    crop_min_ious: Tuple[float, ...] = (0.0, 0.1, 0.3, 0.5, 0.7, 0.9)
+    crop_area_range: Tuple[float, float] = (0.1, 1.0)
+    crop_aspect_range: Tuple[float, float] = (0.5, 2.0)
+    # Photometric jitter ranges.
+    brightness_delta: float = 32.0 / 255.0
+    contrast_range: Tuple[float, float] = (0.5, 1.5)
+    saturation_range: Tuple[float, float] = (0.5, 1.5)
+    hue_delta: float = 18.0 / 360.0
+    # Zoom-out (expand) op from SSD "improved augmentation".
+    expand_prob: float = 0.5
+    expand_max_ratio: float = 4.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "voc"  # "voc" | "coco" | "synthetic"
+    root: str = ""
+    train_split: str = "trainval"
+    val_split: str = "test"
+    max_boxes: int = 100  # GT padding (static shapes)
+    num_workers: int = 4  # host JPEG decode pool
+    prefetch: int = 2  # device prefetch depth (double-buffering)
+    cache_decoded: bool = True  # pre-decoded uint8 cache (SURVEY §7 #5)
+    augment: AugmentConfig = dataclasses.field(default_factory=AugmentConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 32  # global batch
+    num_steps: int = 120_000
+    optimizer: str = "sgd"  # "sgd" | "adamw"
+    base_lr: float = 1e-3
+    warmup_steps: int = 1000
+    schedule: str = "cosine"  # "cosine" | "step"
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    grad_clip_norm: float = 10.0
+    ema_decay: float = 0.0  # 0 disables EMA
+    # Loss knobs.
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    smooth_l1_beta: float = 1.0
+    box_loss_weight: float = 1.0
+    # Hard-negative mining (classic SSD alternative to focal loss).
+    use_focal: bool = True
+    negatives_per_positive: int = 3
+    # Checkpointing.
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every: int = 1000
+    keep_checkpoints: int = 3
+    log_every: int = 50
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    batch_size: int = 64
+    score_threshold: float = 0.01
+    nms_iou_threshold: float = 0.45
+    pre_nms_top_k: int = 400  # per class, before suppression
+    max_detections: int = 200  # per image, after NMS
+    map_style: str = "voc07"  # "voc07" | "voc10" | "coco"
+    use_pallas_nms: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (SURVEY.md §2 parallelism table: DP only is
+    required; axis plumbing kept general)."""
+
+    data_axis: str = "data"
+    # -1 = all visible devices on the data axis.
+    data_parallel: int = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    name: str = "ssd300_vgg16_voc"
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    anchors: AnchorConfig = dataclasses.field(default_factory=AnchorConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def replace(self, **kw: Any) -> "DetectorConfig":
+        return dataclasses.replace(self, **kw)
+
+    def override(self, dotted: Mapping[str, Any]) -> "DetectorConfig":
+        """Apply {'train.base_lr': 3e-3}-style overrides (CLI surface)."""
+        cfg = self
+        for key, value in dotted.items():
+            parts = key.split(".")
+            cfg = _set_dotted(cfg, parts, value)
+        return cfg
+
+
+def _set_dotted(node: Any, parts: Sequence[str], value: Any) -> Any:
+    if len(parts) == 1:
+        field_names = {f.name for f in dataclasses.fields(node)}
+        if parts[0] not in field_names:
+            raise KeyError(f"unknown config field {parts[0]!r} on {type(node).__name__}")
+        return dataclasses.replace(node, **{parts[0]: value})
+    child = getattr(node, parts[0])
+    return dataclasses.replace(node, **{parts[0]: _set_dotted(child, parts[1:], value)})
+
+
+# --------------------------------------------------------------------------
+# Anchor geometry per model family
+# --------------------------------------------------------------------------
+
+def ssd300_anchor_config() -> AnchorConfig:
+    return AnchorConfig()  # defaults are the canonical SSD-300 set (8732)
+
+
+def ssd512_anchor_config() -> AnchorConfig:
+    # SSD-512: 7 levels, 64..1 maps, scales 0.07 + 0.15..0.9 (paper §3.1).
+    return AnchorConfig(
+        feature_sizes=(64, 32, 16, 8, 4, 2, 1),
+        sizes=(
+            (35.84, 76.8),
+            (76.8, 153.6),
+            (153.6, 230.4),
+            (230.4, 307.2),
+            (307.2, 384.0),
+            (384.0, 460.8),
+            (460.8, 537.6),
+        ),
+        aspect_ratios=((2.0,), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0), (2.0,), (2.0,)),
+    )
+
+
+def retinanet_anchor_config(image_size: int = 512) -> AnchorConfig:
+    """RetinaNet-style anchors on FPN P3..P7: 3 scales x 3 ratios = 9/loc.
+
+    Expressed in the same (min,max)+ratios schema via the octave trick is
+    lossy, so RetinaNet uses its own generator (anchors/priors.py supports
+    explicit per-level anchor shape lists); this config only carries the
+    level geometry + variances.
+    """
+    feats = tuple(max(1, image_size // s) for s in (8, 16, 32, 64, 128))
+    base = tuple((4.0 * s, 4.0 * s * 2 ** (1 / 3)) for s in (8, 16, 32, 64, 128))
+    return AnchorConfig(
+        feature_sizes=feats,
+        sizes=base,
+        aspect_ratios=((0.5, 2.0),) * 5,  # placeholder; retinanet generator overrides
+        center_variance=0.1,
+        size_variance=0.2,
+    )
+
+
+# --------------------------------------------------------------------------
+# Presets — one per BASELINE.json config (SURVEY.md §7 table)
+# --------------------------------------------------------------------------
+
+def _ssd300_vgg16_voc() -> DetectorConfig:
+    return DetectorConfig(
+        name="ssd300_vgg16_voc",
+        model=ModelConfig(family="ssd", backbone="vgg16", image_size=300, num_classes=20),
+        anchors=ssd300_anchor_config(),
+        data=DataConfig(dataset="voc"),
+    )
+
+
+def _ssd300_infer_bs64() -> DetectorConfig:
+    cfg = _ssd300_vgg16_voc()
+    return cfg.replace(name="ssd300_infer_bs64", eval=dataclasses.replace(cfg.eval, batch_size=64))
+
+
+def _ssd512_resnet50_coco() -> DetectorConfig:
+    return DetectorConfig(
+        name="ssd512_resnet50_coco",
+        model=ModelConfig(family="ssd", backbone="resnet50", image_size=512, num_classes=80),
+        anchors=ssd512_anchor_config(),
+        data=DataConfig(dataset="coco"),
+        eval=EvalConfig(map_style="coco"),
+    )
+
+
+def _ssd300_voc_train_dp8() -> DetectorConfig:
+    cfg = _ssd300_vgg16_voc()
+    return cfg.replace(
+        name="ssd300_voc_train_dp8",
+        train=dataclasses.replace(cfg.train, batch_size=256),
+        mesh=MeshConfig(data_parallel=8),
+    )
+
+
+def _retinanet_fpn_coco() -> DetectorConfig:
+    return DetectorConfig(
+        name="retinanet_fpn_coco",
+        model=ModelConfig(family="retinanet", backbone="resnet50", image_size=512, num_classes=80),
+        anchors=retinanet_anchor_config(512),
+        data=DataConfig(dataset="coco"),
+        eval=EvalConfig(map_style="coco"),
+        mesh=MeshConfig(data_parallel=16),
+    )
+
+
+_PRESETS = {
+    # BASELINE config #1: CPU single-image parity
+    "ssd300_vgg16_voc": _ssd300_vgg16_voc,
+    # BASELINE config #2: bs=64 one-chip fused preprocess + Pallas NMS
+    "ssd300_infer_bs64": _ssd300_infer_bs64,
+    # BASELINE config #3: SSD-512 ResNet-50 COCO eval
+    "ssd512_resnet50_coco": _ssd512_resnet50_coco,
+    # BASELINE config #4: 8-chip DP VOC training
+    "ssd300_voc_train_dp8": _ssd300_voc_train_dp8,
+    # BASELINE config #5: RetinaNet/FPN COCO on v5e-16
+    "retinanet_fpn_coco": _retinanet_fpn_coco,
+}
+
+
+def list_presets() -> Tuple[str, ...]:
+    return tuple(_PRESETS)
+
+
+def get_config(name: str) -> DetectorConfig:
+    if name not in _PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(_PRESETS)}")
+    return _PRESETS[name]()

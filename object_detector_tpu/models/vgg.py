@@ -1,0 +1,130 @@
+"""VGG16 backbone with SSD modifications — flax.linen, NHWC (TPU-native).
+
+SSD paper §3: VGG16 through conv5_3, pool5 changed to 3x3/stride-1, fc6/fc7
+converted to dilated 3x3x1024 and 1x1x1024 convs. Taps: conv4_3 (38² at 300)
+and fc7 (19²). L2Norm rescales the conv4_3 tap (ParseNet trick).
+
+Reference citation: unavailable (SURVEY.md §0 — /root/reference empty);
+architecture follows arXiv:1512.02325 and the BASELINE.json contract
+("VGG/ResNet convolutional backbone and multi-scale detection heads").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jnp.ndarray
+
+
+class L2Norm(nn.Module):
+    """Channelwise L2 normalization with learned per-channel scale."""
+
+    init_scale: float = 20.0
+    epsilon: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scale = self.param(
+            "scale",
+            lambda _, shape: jnp.full(shape, self.init_scale, jnp.float32),
+            (x.shape[-1],),
+        )
+        norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True) + self.epsilon)
+        return (x / norm.astype(x.dtype)) * scale.astype(x.dtype)
+
+
+class VGG16Backbone(nn.Module):
+    """VGG16 (SSD-modified). Returns [conv4_3, fc7] feature maps, NHWC."""
+
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> List[Array]:
+        conv = lambda c, name, **kw: nn.Conv(  # noqa: E731
+            c, (3, 3), padding="SAME", dtype=self.compute_dtype, name=name, **kw
+        )
+        pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))  # noqa: E731
+
+        x = x.astype(self.compute_dtype)
+        # Block 1-3
+        x = nn.relu(conv(64, "conv1_1")(x))
+        x = nn.relu(conv(64, "conv1_2")(x))
+        x = pool(x)
+        x = nn.relu(conv(128, "conv2_1")(x))
+        x = nn.relu(conv(128, "conv2_2")(x))
+        x = pool(x)
+        x = nn.relu(conv(256, "conv3_1")(x))
+        x = nn.relu(conv(256, "conv3_2")(x))
+        x = nn.relu(conv(256, "conv3_3")(x))
+        # ceil-mode pool3 (keeps 75 -> 38 at input 300): pad to even first.
+        if x.shape[1] % 2 == 1:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+        x = pool(x)
+        # Block 4
+        x = nn.relu(conv(512, "conv4_1")(x))
+        x = nn.relu(conv(512, "conv4_2")(x))
+        x = nn.relu(conv(512, "conv4_3")(x))
+        conv4_3 = x
+        x = pool(x)
+        # Block 5 (stride-1 pool afterwards)
+        x = nn.relu(conv(512, "conv5_1")(x))
+        x = nn.relu(conv(512, "conv5_2")(x))
+        x = nn.relu(conv(512, "conv5_3")(x))
+        x = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        # fc6: dilated 3x3, fc7: 1x1 (SSD §3 "atrous" conversion).
+        x = nn.relu(
+            nn.Conv(
+                1024, (3, 3), padding="SAME", kernel_dilation=(6, 6),
+                dtype=self.compute_dtype, name="fc6",
+            )(x)
+        )
+        x = nn.relu(nn.Conv(1024, (1, 1), dtype=self.compute_dtype, name="fc7")(x))
+        return [conv4_3, x]
+
+
+class SSDExtraLayers(nn.Module):
+    """Stride-2 pyramid after fc7: conv8..conv11 (300) / conv8..conv12 (512).
+
+    Each block: 1x1 bottleneck then 3x3 stride-2 (or VALID 3x3 for the last
+    maps), per SSD paper fig. 2.
+    """
+
+    # (bottleneck, out, stride, padding) per extra block.
+    blocks: Tuple[Tuple[int, int, int, str], ...] = (
+        (256, 512, 2, "SAME"),
+        (128, 256, 2, "SAME"),
+        (128, 256, 1, "VALID"),
+        (128, 256, 1, "VALID"),
+    )
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> List[Array]:
+        feats: List[Array] = []
+        for i, (mid, out, stride, pad) in enumerate(self.blocks):
+            x = nn.relu(
+                nn.Conv(mid, (1, 1), dtype=self.compute_dtype, name=f"conv{8+i}_1")(x)
+            )
+            x = nn.relu(
+                nn.Conv(
+                    out, (3, 3), strides=(stride, stride), padding=pad,
+                    dtype=self.compute_dtype, name=f"conv{8+i}_2",
+                )(x)
+            )
+            feats.append(x)
+        return feats
+
+
+SSD300_EXTRAS = SSDExtraLayers.blocks.default if hasattr(SSDExtraLayers.blocks, "default") else None
+
+# SSD-512 uses one more stride-2 block and a final 4x4->1 reduction.
+SSD512_EXTRA_BLOCKS: Tuple[Tuple[int, int, int, str], ...] = (
+    (256, 512, 2, "SAME"),
+    (128, 256, 2, "SAME"),
+    (128, 256, 2, "SAME"),
+    (128, 256, 2, "SAME"),
+    (128, 256, 2, "SAME"),
+)

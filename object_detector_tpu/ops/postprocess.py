@@ -1,0 +1,69 @@
+"""Raw head outputs -> final detections (decode + score + per-class NMS).
+
+This is the inference postprocessor (SURVEY.md §2 component #11). The whole
+path is jittable and batched; on TPU the NMS stage can run through the
+Pallas kernel (EvalConfig.use_pallas_nms), elsewhere through ops/nms.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from object_detector_tpu.core.config import DetectorConfig
+from object_detector_tpu.ops import boxes as box_ops
+from object_detector_tpu.ops import nms as nms_ops
+
+Array = jnp.ndarray
+
+
+def scores_from_logits(cls_logits: Array, family: str) -> Array:
+    """(B, A, C[+1]) logits -> (B, A, C) foreground probabilities."""
+    if family == "retinanet" or cls_logits.shape[-1] == 0:
+        return jax.nn.sigmoid(cls_logits)
+    # SSD softmax head has background at index 0; sigmoid heads don't.
+    # We standardize on sigmoid (one-vs-all) heads for both families — the
+    # C+1 softmax path is kept for the hard-negative-mining trainer.
+    return jax.nn.sigmoid(cls_logits)
+
+
+def postprocess(
+    cls_logits: Array,  # (B, A, C)
+    box_offsets: Array,  # (B, A, 4)
+    anchors_center: Array,  # (A, 4)
+    cfg: DetectorConfig,
+    use_pallas: bool | None = None,
+) -> nms_ops.Detections:
+    """Batched decode -> per-class NMS. Returns batch-stacked Detections."""
+    scores = scores_from_logits(cls_logits.astype(jnp.float32), cfg.model.family)
+    decoded = box_ops.decode(
+        box_offsets.astype(jnp.float32),
+        anchors_center,
+        cfg.anchors.center_variance,
+        cfg.anchors.size_variance,
+        clip=True,
+    )  # (B, A, 4)
+
+    if use_pallas is None:
+        use_pallas = cfg.eval.use_pallas_nms
+    if use_pallas:
+        from object_detector_tpu.kernels.nms_pallas import pallas_per_class_nms
+
+        nms_fn = partial(
+            pallas_per_class_nms,
+            score_threshold=cfg.eval.score_threshold,
+            iou_threshold=cfg.eval.nms_iou_threshold,
+            pre_nms_top_k=cfg.eval.pre_nms_top_k,
+            max_detections=cfg.eval.max_detections,
+        )
+    else:
+        nms_fn = partial(
+            nms_ops.per_class_nms,
+            score_threshold=cfg.eval.score_threshold,
+            iou_threshold=cfg.eval.nms_iou_threshold,
+            pre_nms_top_k=cfg.eval.pre_nms_top_k,
+            max_detections=cfg.eval.max_detections,
+        )
+    return jax.vmap(nms_fn)(decoded, scores)
