@@ -1,0 +1,73 @@
+"""Headline benchmark: SSD-300 batched inference images/sec/chip.
+
+Runs the full on-chip inference program (uint8 batch -> normalize -> VGG16
+SSD forward in bf16 -> decode -> per-class NMS) at bs=64 on one chip —
+BASELINE.json config #2 / the ≥5000 img/s/chip north star.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 5000 (the BASELINE.json target; the reference repo
+publishes no numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from object_detector_tpu.anchors.priors import ssd_anchors
+    from object_detector_tpu.core.config import get_config
+    from object_detector_tpu.models.ssd import SSDModel
+    from object_detector_tpu.ops import augment as aug_ops
+    from object_detector_tpu.ops.postprocess import postprocess
+
+    cfg = get_config("ssd300_infer_bs64")
+    batch_size = cfg.eval.batch_size
+    s = cfg.model.image_size
+    on_tpu = jax.default_backend() == "tpu"
+
+    model = SSDModel(cfg)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, s, s, 3)), train=False)
+    anchors = jnp.asarray(ssd_anchors(cfg.anchors, s))
+
+    @jax.jit
+    def infer(params, images_u8):
+        images = aug_ops.normalize(images_u8.astype(jnp.float32) / 255.0)
+        cls_logits, box_offsets = model.apply({"params": params}, images, train=False)
+        det = postprocess(cls_logits, box_offsets, anchors, cfg, use_pallas=on_tpu)
+        return det.boxes, det.scores, det.classes, det.valid
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (batch_size, s, s, 3), dtype=np.uint8))
+    params = variables["params"]
+
+    # Warmup / compile.
+    jax.block_until_ready(infer(params, images))
+
+    n_iters = 50 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = infer(params, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch_size * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ssd300_inference_images_per_sec_per_chip",
+                "value": round(imgs_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / 5000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -48,9 +48,13 @@ class AnchorConfig:
     center_variance: float = 0.1
     size_variance: float = 0.2
     clip: bool = True
+    # Non-None overrides the SSD 2+2r per-location count (RetinaNet: 9).
+    explicit_anchors_per_location: Tuple[int, ...] | None = None
 
     @property
     def anchors_per_level(self) -> Tuple[int, ...]:
+        if self.explicit_anchors_per_location is not None:
+            return self.explicit_anchors_per_location
         # per location: 2 (scale s_k and sqrt-scale) + 2 per extra ratio
         return tuple(2 + 2 * len(r) for r in self.aspect_ratios)
 
@@ -250,9 +254,10 @@ def retinanet_anchor_config(image_size: int = 512) -> AnchorConfig:
     return AnchorConfig(
         feature_sizes=feats,
         sizes=base,
-        aspect_ratios=((0.5, 2.0),) * 5,  # placeholder; retinanet generator overrides
+        aspect_ratios=((0.5, 2.0),) * 5,  # unused: explicit count below wins
         center_variance=0.1,
         size_variance=0.2,
+        explicit_anchors_per_location=(9,) * 5,
     )
 
 
@@ -316,6 +321,25 @@ _PRESETS = {
     # BASELINE config #5: RetinaNet/FPN COCO on v5e-16
     "retinanet_fpn_coco": _retinanet_fpn_coco,
 }
+
+
+def tiny_test_config(num_classes: int = 3) -> DetectorConfig:
+    """Small SSD/VGG config (64px, 2 levels) for CPU tests and dry runs."""
+    return DetectorConfig(
+        name="tiny_test",
+        model=ModelConfig(family="ssd", backbone="vgg16", image_size=64,
+                          num_classes=num_classes, compute_dtype="float32"),
+        anchors=AnchorConfig(
+            feature_sizes=(8, 4),
+            sizes=((16.0, 32.0), (32.0, 48.0)),
+            aspect_ratios=((2.0,), (2.0,)),
+        ),
+        data=DataConfig(dataset="synthetic", max_boxes=8),
+        train=TrainConfig(batch_size=8, num_steps=50, warmup_steps=0,
+                          base_lr=1e-2, checkpoint_every=10**9, log_every=10),
+        eval=EvalConfig(batch_size=8, pre_nms_top_k=64, max_detections=16,
+                        use_pallas_nms=False),
+    )
 
 
 def list_presets() -> Tuple[str, ...]:

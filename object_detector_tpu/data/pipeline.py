@@ -1,0 +1,164 @@
+"""Host-side input pipeline: decode cache -> batches -> async device_put.
+
+Design (SURVEY.md §3.1 rebuild stack): the host does exactly one job —
+deliver fixed-size uint8 image canvases plus padded annotations to HBM.
+Everything after (photometric/geometric augmentation, normalization,
+matching) happens inside the jitted train step on device.
+
+- Images are decoded once (multi-process pool) and cached as a single
+  (N, S, S, 3) uint8 array (VOC-trainval at 300² ≈ 1.3 GB — SURVEY.md §7
+  hard part #5), aspect-preserving-free plain resize to the canvas.
+- Batches are gathered by fancy-indexing the cache (zero decode on the hot
+  path) and shipped with `jax.device_put` under a double-buffered prefetch
+  so the transfer overlaps the previous step's compute.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as futures
+import os
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from object_detector_tpu.data.types import Dataset, pad_annotations
+
+
+def _decode_resize(path: str, size: int) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        # draft() lets libjpeg decode at reduced DCT scale — much cheaper
+        # than full decode + resize for large photos.
+        im.draft("RGB", (size, size))
+        im = im.resize((size, size), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+class DecodedCache:
+    """All-images uint8 cache: (N, S, S, 3) + padded annotations."""
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        image_size: int,
+        max_boxes: int = 100,
+        num_workers: int = 4,
+        cache_path: Optional[str] = None,
+    ):
+        self.dataset = dataset
+        self.image_size = image_size
+        n = len(dataset)
+        self.images = np.zeros((n, image_size, image_size, 3), np.uint8)
+        self.boxes = np.zeros((n, max_boxes, 4), np.float32)
+        self.labels = np.zeros((n, max_boxes), np.int32)
+        self.valid = np.zeros((n, max_boxes), bool)
+
+        if cache_path and os.path.exists(cache_path):
+            blob = np.load(cache_path)
+            self.images, self.boxes = blob["images"], blob["boxes"]
+            self.labels, self.valid = blob["labels"], blob["valid"]
+            return
+
+        def fill(i: int) -> None:
+            rec = dataset.records[i]
+            if rec.path:
+                self.images[i] = _decode_resize(rec.path, image_size)
+            else:  # synthetic record — render procedurally
+                from object_detector_tpu.data.synthetic import render_synthetic_image
+
+                self.images[i] = render_synthetic_image(rec, image_size)
+            b, l, v = pad_annotations(rec, max_boxes)
+            self.boxes[i], self.labels[i], self.valid[i] = b, l, v
+
+        workers = max(1, num_workers)
+        if workers == 1 or n < 8:
+            for i in range(n):
+                fill(i)
+        else:
+            with futures.ThreadPoolExecutor(workers) as pool:
+                list(pool.map(fill, range(n)))
+
+        if cache_path:
+            np.savez(
+                cache_path,
+                images=self.images,
+                boxes=self.boxes,
+                labels=self.labels,
+                valid=self.valid,
+            )
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def gather(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        return {
+            "image": self.images[idx],
+            "boxes": self.boxes[idx],
+            "labels": self.labels[idx],
+            "valid": self.valid[idx],
+        }
+
+
+def epoch_batches(
+    cache: DecodedCache,
+    batch_size: int,
+    seed: int,
+    shuffle: bool = True,
+    drop_remainder: bool = True,
+    start_step: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Deterministic, resumable index-shuffled batch stream.
+
+    `start_step` skips already-consumed batches after checkpoint resume
+    (dataset cursor is part of the checkpoint, SURVEY.md §5).
+    """
+    n = len(cache)
+    steps_per_epoch = n // batch_size if drop_remainder else -(-n // batch_size)
+    step = start_step
+    while True:
+        epoch = step // max(steps_per_epoch, 1)
+        rng = np.random.default_rng(seed + epoch)
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for b in range(step % steps_per_epoch, steps_per_epoch):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            if len(idx) < batch_size and drop_remainder:
+                break
+            yield cache.gather(idx)
+            step += 1
+
+
+class DevicePrefetcher:
+    """Background thread pushing host batches to device N steps ahead.
+
+    `place` is any host->device function (e.g. a sharded jax.device_put);
+    the separation keeps this module import-safe without jax.
+    """
+
+    def __init__(self, iterator: Iterator, place, depth: int = 2):
+        self._iter = iterator
+        self._place = place
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for batch in self._iter:
+                self._q.put(self._place(batch))
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item

@@ -81,7 +81,6 @@ class SSDModel(nn.Module):
 
         n_extra = len(cfg.anchors.feature_sizes) - len(taps)
         if n_extra > 0:
-            blocks = tuple(SSDExtraLayers.blocks.default[:n_extra]) if False else None
             # SSD-300: (256,512,s2,SAME),(128,256,s2,SAME),(128,256,s1,VALID)x2
             # SSD-512 tail: stride-2 SAME blocks down to 1x1.
             if cfg.model.image_size >= 512:
