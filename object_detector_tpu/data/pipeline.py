@@ -64,6 +64,27 @@ class DecodedCache:
             self.labels, self.valid = blob["labels"], blob["valid"]
             return
 
+        # Fast path: native C++ decode pool for file-backed records.
+        jpeg_idx = [i for i, r in enumerate(dataset.records) if r.path]
+        if jpeg_idx:
+            from object_detector_tpu.data import native_decode
+
+            decoded = native_decode.decode_batch(
+                [dataset.records[i].path for i in jpeg_idx],
+                image_size,
+                num_threads=max(1, num_workers),
+            )
+            if decoded is not None:
+                self.images[np.asarray(jpeg_idx)] = decoded
+                for i in jpeg_idx:
+                    b, l, v = pad_annotations(dataset.records[i], max_boxes)
+                    self.boxes[i], self.labels[i], self.valid[i] = b, l, v
+                jpeg_done = set(jpeg_idx)
+            else:
+                jpeg_done = set()
+        else:
+            jpeg_done = set()
+
         def fill(i: int) -> None:
             rec = dataset.records[i]
             if rec.path:
@@ -75,13 +96,14 @@ class DecodedCache:
             b, l, v = pad_annotations(rec, max_boxes)
             self.boxes[i], self.labels[i], self.valid[i] = b, l, v
 
+        todo = [i for i in range(n) if i not in jpeg_done]
         workers = max(1, num_workers)
-        if workers == 1 or n < 8:
-            for i in range(n):
+        if workers == 1 or len(todo) < 8:
+            for i in todo:
                 fill(i)
         else:
             with futures.ThreadPoolExecutor(workers) as pool:
-                list(pool.map(fill, range(n)))
+                list(pool.map(fill, todo))
 
         if cache_path:
             np.savez(

@@ -1,19 +1,22 @@
 """Pallas per-class NMS kernel (BASELINE north-star: on-chip decode-to-
 detections; SURVEY.md §7 step 6).
 
-Design (TPU-first, not a CUDA port):
+Design (TPU-first; v2 after profiling on real v5e):
 - XLA does what it is best at outside the kernel: per-class `top_k`
   candidate selection and the final cross-class merge.
-- The kernel owns the part XLA schedules poorly — the sequential greedy
-  suppression — with the whole working set (boxes, scores, the (k, k) IoU
-  matrix) resident in VMEM, one grid program per class.
+- The kernel owns the sequential greedy suppression. Every (image, class)
+  pair is one independent NMS problem; all of them are packed as ROWS of a
+  (rows, k) tile so each sequential greedy step is dense VPU work across
+  the whole batch (sublane axis) instead of a scalar loop. A grid over row
+  chunks bounds VMEM.
 - Greedy semantics via argmax-emit: each iteration keeps the highest
-  remaining score and zeroes everything it overlaps. `max_out` iterations
-  (the per-class detection cap) instead of k — ~4x fewer sequential steps
-  than rank-scan NMS at k=512, identical results (greedy NMS truncated at
-  max_out keeps exactly the first max_out survivors).
-- Boxes travel as (4, k) so coordinates lie along lanes; k is padded to a
-  multiple of 128 (f32 tile lane width).
+  remaining score per row, reconstructs winner coordinates by masked
+  row-reduction (no dynamic gathers), computes winner-vs-all IoU on the
+  fly, and suppresses. `max_out` iterations (the per-class cap) — greedy
+  NMS truncated at max_out keeps exactly the first max_out survivors.
+- VPU work per sequential step: ~20 elementwise/reduce ops on
+  (ROW_CHUNK, k) f32 — lanes and sublanes saturated; working set
+  (6 coordinate/score planes) stays VMEM-resident across all iterations.
 
 Interpret mode runs on CPU for tests; compiled mode on TPU.
 """
@@ -32,6 +35,7 @@ from object_detector_tpu.ops.nms import Detections
 Array = jnp.ndarray
 
 _LANE = 128
+_ROW_CHUNK = 256  # rows (image*class problems) per grid step
 
 
 def _round_up(x: int, m: int) -> int:
@@ -39,52 +43,92 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _nms_kernel(
-    bt_ref,  # (1, 4, k) boxes, coordinate-major
-    scores_ref,  # (1, k)
-    out_ref,  # (1, k) kept scores
+    x1_ref, y1_ref, x2_ref, y2_ref, scores_ref,  # (R, k) each
+    out_ref,  # (R, k) kept scores
     *,
     k: int,
+    rows: int,
     max_out: int,
     iou_threshold: float,
     score_threshold: float,
 ):
-    bt = bt_ref[0]  # (4, k)
-    x1 = bt[0:1, :]
-    y1 = bt[1:2, :]
-    x2 = bt[2:3, :]
-    y2 = bt[3:4, :]
-    x1c = jnp.reshape(x1, (k, 1))
-    y1c = jnp.reshape(y1, (k, 1))
-    x2c = jnp.reshape(x2, (k, 1))
-    y2c = jnp.reshape(y2, (k, 1))
-
-    iw = jnp.maximum(jnp.minimum(x2c, x2) - jnp.maximum(x1c, x1), 0.0)
-    ih = jnp.maximum(jnp.minimum(y2c, y2) - jnp.maximum(y1c, y1), 0.0)
-    inter = iw * ih  # (k, k)
-    area_r = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (1, k)
-    area_c = jnp.reshape(area_r, (k, 1))
-    union = area_c + area_r - inter
-    overlap = (inter > iou_threshold * union).astype(jnp.float32)  # (k, k)
-
-    scores = scores_ref[:]  # (1, k)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    x1 = x1_ref[:]
+    y1 = y1_ref[:]
+    x2 = x2_ref[:]
+    y2 = y2_ref[:]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (R, k)
+    scores = scores_ref[:]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
 
     def body(_, carry):
         remaining, kept = carry
-        i = jnp.argmax(remaining)  # flat index in 0..k-1
-        s = jnp.max(remaining)
-        valid = (s > score_threshold).astype(jnp.float32)
-        onehot = (col_ids == i).astype(jnp.float32)
+        s = jnp.max(remaining, axis=1, keepdims=True)  # (R, 1)
+        idx = jnp.argmax(remaining, axis=1).reshape(rows, 1)  # (R, 1)
+        valid = (s > score_threshold).astype(jnp.float32)  # (R, 1)
+        onehot = (col_ids == idx).astype(jnp.float32)  # (R, k)
         kept = kept + onehot * valid
-        row = jax.lax.dynamic_slice(overlap, (i, 0), (1, k))
+        # Winner coordinates per row via masked reduce.
+        wx1 = jnp.sum(x1 * onehot, axis=1, keepdims=True)
+        wy1 = jnp.sum(y1 * onehot, axis=1, keepdims=True)
+        wx2 = jnp.sum(x2 * onehot, axis=1, keepdims=True)
+        wy2 = jnp.sum(y2 * onehot, axis=1, keepdims=True)
+        w_area = jnp.sum(area * onehot, axis=1, keepdims=True)
+        # Winner-vs-all IoU, rows independent.
+        iw = jnp.maximum(jnp.minimum(wx2, x2) - jnp.maximum(wx1, x1), 0.0)
+        ih = jnp.maximum(jnp.minimum(wy2, y2) - jnp.maximum(wy1, y1), 0.0)
+        inter = iw * ih
+        union = w_area + area - inter
+        row = (inter > iou_threshold * union).astype(jnp.float32)
         suppress = jnp.maximum(row, onehot) * valid
         remaining = remaining * (1.0 - suppress)
         return remaining, kept
 
     _, kept = jax.lax.fori_loop(
-        0, max_out, body, (scores, jnp.zeros((1, k), jnp.float32))
+        0, max_out, body, (scores, jnp.zeros((rows, k), jnp.float32))
     )
     out_ref[:] = scores * kept
+
+
+def _nms_rows(
+    coords: Array,  # (4, R, k) x1/y1/x2/y2 planes
+    scores: Array,  # (R, k) sorted desc per row
+    *,
+    max_out: int,
+    iou_threshold: float,
+    score_threshold: float,
+    interpret: bool,
+) -> Array:
+    """Run the kernel over all rows; returns kept scores (R, k)."""
+    total_rows, k = scores.shape
+    chunk = min(_ROW_CHUNK, total_rows)
+    pad_rows = _round_up(total_rows, chunk) - total_rows
+    if pad_rows:
+        coords = jnp.pad(coords, ((0, 0), (0, pad_rows), (0, 0)))
+        scores = jnp.pad(scores, ((0, pad_rows), (0, 0)))
+    grid = (scores.shape[0] // chunk,)
+
+    kernel = functools.partial(
+        _nms_kernel,
+        k=k,
+        rows=chunk,
+        max_out=max_out,
+        iou_threshold=float(iou_threshold),
+        score_threshold=float(score_threshold),
+    )
+    plane = lambda i: pl.BlockSpec(  # noqa: E731
+        (chunk, k), lambda r: (r, 0), memory_space=pltpu.VMEM
+    )
+    kept = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[plane(0), plane(1), plane(2), plane(3), plane(4)],
+        out_specs=pl.BlockSpec((chunk, k), lambda r: (r, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(scores.shape, jnp.float32),
+        interpret=interpret,
+    )(coords[0], coords[1], coords[2], coords[3], scores)
+    if pad_rows:
+        kept = kept[:total_rows]
+    return kept
 
 
 @functools.partial(
@@ -94,9 +138,9 @@ def _nms_kernel(
         "max_per_class", "interpret",
     ),
 )
-def pallas_per_class_nms(
-    boxes: Array,  # (A, 4) decoded corner boxes, one image
-    scores: Array,  # (A, C)
+def pallas_per_class_nms_batched(
+    boxes: Array,  # (B, A, 4) decoded corner boxes
+    scores: Array,  # (B, A, C)
     *,
     score_threshold: float = 0.01,
     iou_threshold: float = 0.45,
@@ -105,49 +149,58 @@ def pallas_per_class_nms(
     max_per_class: int = 100,
     interpret: bool | None = None,
 ) -> Detections:
-    """Drop-in replacement for ops.nms.per_class_nms (vmap over batch)."""
-    num_anchors, num_classes = scores.shape
+    """Batched per-class NMS. All B*C (image, class) problems become kernel
+    rows — one pallas_call for the whole batch (do NOT vmap this; the batch
+    dim is already folded into rows)."""
+    batch, num_anchors, num_classes = scores.shape
     k = _round_up(min(pre_nms_top_k, num_anchors), _LANE)
     k_eff = min(pre_nms_top_k, num_anchors)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     # Per-class top-k gather (XLA's strength), padded to the lane width.
-    top_scores, top_idx = jax.lax.top_k(scores.T, k_eff)  # (C, k_eff)
-    cls_boxes = jnp.take(boxes, top_idx.reshape(-1), axis=0).reshape(
-        num_classes, k_eff, 4
-    )
+    scores_t = jnp.transpose(scores, (0, 2, 1))  # (B, C, A)
+    top_scores, top_idx = jax.lax.top_k(scores_t, k_eff)  # (B, C, k_eff)
+    cls_boxes = jnp.take_along_axis(
+        boxes[:, None, :, :], top_idx[..., None], axis=2
+    )  # (B, C, k_eff, 4)
     pad = k - k_eff
     if pad:
-        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)))
-        cls_boxes = jnp.pad(cls_boxes, ((0, 0), (0, pad), (0, 0)))
-    boxes_t = jnp.transpose(cls_boxes, (0, 2, 1))  # (C, 4, k)
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, 0), (0, pad)))
+        cls_boxes = jnp.pad(cls_boxes, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    rows = batch * num_classes
+    coords = jnp.transpose(cls_boxes.reshape(rows, k, 4), (2, 0, 1))  # (4, R, k)
 
-    kernel = functools.partial(
-        _nms_kernel,
-        k=k,
+    kept_scores = _nms_rows(
+        coords,
+        top_scores.astype(jnp.float32).reshape(rows, k),
         max_out=min(max_per_class, max_detections, k),
-        iou_threshold=float(iou_threshold),
-        score_threshold=float(score_threshold),
-    )
-    kept_scores = pl.pallas_call(
-        kernel,
-        grid=(num_classes,),
-        in_specs=[
-            pl.BlockSpec((1, 4, k), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda c: (c, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, k), lambda c: (c, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_classes, k), jnp.float32),
+        iou_threshold=iou_threshold,
+        score_threshold=score_threshold,
         interpret=interpret,
-    )(boxes_t, top_scores.astype(jnp.float32))
+    ).reshape(batch, num_classes, k)
 
-    # Cross-class merge: top max_detections by kept score.
-    flat_scores = kept_scores.reshape(-1)
+    # Cross-class merge per image: top max_detections by kept score.
+    flat_scores = kept_scores.reshape(batch, num_classes * k)
     merged_scores, merged_idx = jax.lax.top_k(flat_scores, max_detections)
-    out_boxes = jnp.take(cls_boxes.reshape(-1, 4), merged_idx, axis=0)
+    out_boxes = jnp.take_along_axis(
+        cls_boxes.reshape(batch, num_classes * k, 4), merged_idx[..., None], axis=1
+    )
     out_classes = (merged_idx // k).astype(jnp.int32)
     valid = merged_scores > 0.0
     return Detections(
         boxes=out_boxes, scores=merged_scores, classes=out_classes, valid=valid
+    )
+
+
+def pallas_per_class_nms(
+    boxes: Array,  # (A, 4) one image
+    scores: Array,  # (A, C)
+    **kwargs,
+) -> Detections:
+    """Single-image convenience wrapper (tests / predict-on-image)."""
+    det = pallas_per_class_nms_batched(boxes[None], scores[None], **kwargs)
+    return Detections(
+        boxes=det.boxes[0], scores=det.scores[0],
+        classes=det.classes[0], valid=det.valid[0],
     )

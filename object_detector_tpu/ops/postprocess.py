@@ -49,21 +49,24 @@ def postprocess(
     if use_pallas is None:
         use_pallas = cfg.eval.use_pallas_nms
     if use_pallas:
-        from object_detector_tpu.kernels.nms_pallas import pallas_per_class_nms
+        # Batched kernel: the batch dim folds into kernel rows — no vmap.
+        from object_detector_tpu.kernels.nms_pallas import (
+            pallas_per_class_nms_batched,
+        )
 
-        nms_fn = partial(
-            pallas_per_class_nms,
+        return pallas_per_class_nms_batched(
+            decoded,
+            scores,
             score_threshold=cfg.eval.score_threshold,
             iou_threshold=cfg.eval.nms_iou_threshold,
             pre_nms_top_k=cfg.eval.pre_nms_top_k,
             max_detections=cfg.eval.max_detections,
         )
-    else:
-        nms_fn = partial(
-            nms_ops.per_class_nms,
-            score_threshold=cfg.eval.score_threshold,
-            iou_threshold=cfg.eval.nms_iou_threshold,
-            pre_nms_top_k=cfg.eval.pre_nms_top_k,
-            max_detections=cfg.eval.max_detections,
-        )
+    nms_fn = partial(
+        nms_ops.per_class_nms,
+        score_threshold=cfg.eval.score_threshold,
+        iou_threshold=cfg.eval.nms_iou_threshold,
+        pre_nms_top_k=cfg.eval.pre_nms_top_k,
+        max_detections=cfg.eval.max_detections,
+    )
     return jax.vmap(nms_fn)(decoded, scores)
