@@ -12,11 +12,16 @@ publishes no numbers — BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 
 def main() -> None:
     import jax
+
+    from object_detector_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -46,17 +51,17 @@ def main() -> None:
     images = jnp.asarray(rng.integers(0, 255, (batch_size, s, s, 3), dtype=np.uint8))
     params = variables["params"]
 
-    # Warmup / compile.
-    jax.block_until_ready(infer(params, images))
+    # Tunnel-correct timing (device_get fence; block_until_ready is a no-op
+    # under axon — see benchmarks/timing.py).
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.timing import timed
 
     n_iters = 50 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = infer(params, images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    dt = timed(infer, params, images, iters=n_iters)
 
-    imgs_per_sec = batch_size * n_iters / dt
+    imgs_per_sec = batch_size / dt
     print(
         json.dumps(
             {

@@ -7,6 +7,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+from object_detector_tpu.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,16 +20,7 @@ from object_detector_tpu.models.ssd import SSDModel
 from object_detector_tpu.ops import augment as aug_ops
 from object_detector_tpu.ops import boxes as box_ops
 from object_detector_tpu.ops.postprocess import postprocess
-
-
-def timed(fn, *args, iters=20, warmup=True):
-    if warmup:
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+from benchmarks.timing import timed
 
 
 def main():

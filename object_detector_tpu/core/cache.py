@@ -1,0 +1,22 @@
+"""Persistent XLA compilation cache setup.
+
+First-compile of the SSD graphs costs minutes on a slow host CPU; the cache
+makes every subsequent process reuse compiled executables (SURVEY.md §3.5).
+Import-and-call from benches/CLIs before the first jit.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.expanduser("~/.cache/odt_jax_cache")
+
+
+def enable_compilation_cache(directory: str | None = None) -> None:
+    import jax
+
+    cache_dir = directory or os.environ.get("ODT_JAX_CACHE", _DEFAULT_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
