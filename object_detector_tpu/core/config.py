@@ -167,7 +167,7 @@ class EvalConfig:
     batch_size: int = 64
     score_threshold: float = 0.01
     nms_iou_threshold: float = 0.45
-    pre_nms_top_k: int = 400  # per class, before suppression
+    pre_nms_top_k: int = 256  # per class, before suppression
     max_detections: int = 200  # per image, after NMS
     map_style: str = "voc07"  # "voc07" | "voc10" | "coco"
     use_pallas_nms: bool = True

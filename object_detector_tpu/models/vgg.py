@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -32,8 +33,12 @@ class L2Norm(nn.Module):
             lambda _, shape: jnp.full(shape, self.init_scale, jnp.float32),
             (x.shape[-1],),
         )
-        norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True) + self.epsilon)
-        return (x / norm.astype(x.dtype)) * scale.astype(x.dtype)
+        # Accumulate the channel sum-of-squares in f32 (bf16 would overflow
+        # precision over 512 channels) but keep the tensor-wide math in the
+        # compute dtype — no f32 materialization of the activation.
+        sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True, dtype=jnp.float32)
+        inv = jax.lax.rsqrt(sq + self.epsilon).astype(x.dtype)
+        return x * inv * scale.astype(x.dtype)
 
 
 class VGG16Backbone(nn.Module):
