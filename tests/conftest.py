@@ -1,22 +1,22 @@
 """Test harness config: force CPU jax with 8 fake devices.
 
 Multi-device-without-a-cluster strategy per SURVEY.md §4: all tests run on
-CPU with XLA_FLAGS=--xla_force_host_platform_device_count=8 so data-parallel
-sharding logic is exercised without TPU hardware. Must run before any jax
-import, hence module-level in conftest.
+CPU with 8 fake devices so data-parallel sharding logic is exercised
+without TPU hardware.
+
+NOTE: this environment's sitecustomize force-registers the `axon` TPU
+platform and rewrites JAX_PLATFORMS, so env vars are NOT sufficient — the
+config API must be used before first backend use (verified: env-only setup
+silently ran the suite on the tunneled TPU).
 """
 
-import os
+import numpy as np
+import pytest
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
 
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 
 @pytest.fixture

@@ -21,16 +21,18 @@ from object_detector_tpu.train.step import make_train_step
 @pytest.fixture(scope="module")
 def setup():
     cfg = tiny_test_config()
-    model, state = init_model_state(cfg, jax.random.key(0))
+    model, _ = init_model_state(cfg, jax.random.key(0))
     anchors = ssd_anchors(cfg.anchors, cfg.model.image_size)
     ds = make_synthetic_dataset(num_images=8, image_size=cfg.model.image_size)
     cache = DecodedCache(ds, cfg.model.image_size, cfg.data.max_boxes, num_workers=1)
     batch = {k: jnp.asarray(v) for k, v in cache.gather(np.arange(8)).items()}
-    return cfg, model, state, anchors, batch
+    return cfg, model, anchors, batch
 
 
 def test_overfit_one_batch(setup):
-    cfg, model, state, anchors, batch = setup
+    cfg, model, anchors, batch = setup
+    # Fresh state per test: the step donates its input state buffers.
+    _, state = init_model_state(cfg, jax.random.key(0))
     step_fn = make_train_step(cfg, model, anchors, mesh=None, augment=False)
     rng = jax.random.key(1)
     losses = []
@@ -42,7 +44,7 @@ def test_overfit_one_batch(setup):
 
 
 def test_dp8_matches_single_device(setup):
-    cfg, model, _, anchors, batch = setup
+    cfg, model, anchors, batch = setup
     # Fresh state for each run (same init seed).
     _, state_a = init_model_state(cfg, jax.random.key(0))
     _, state_b = init_model_state(cfg, jax.random.key(0))
@@ -67,7 +69,8 @@ def test_dp8_matches_single_device(setup):
 
 
 def test_augmented_step_runs(setup):
-    cfg, model, state, anchors, batch = setup
+    cfg, model, anchors, batch = setup
+    _, state = init_model_state(cfg, jax.random.key(0))
     step_fn = make_train_step(cfg, model, anchors, mesh=None, augment=True)
     state, metrics = step_fn(state, batch, jax.random.key(3))
     assert np.isfinite(float(metrics["loss"]))
