@@ -1,8 +1,11 @@
 """Headline benchmark: SSD-300 batched inference images/sec/chip.
 
-Runs the full on-chip inference program (uint8 batch -> normalize -> VGG16
-SSD forward in bf16 -> decode -> per-class NMS) at bs=64 on one chip —
-BASELINE.json config #2 / the ≥5000 img/s/chip north star.
+Runs the full on-chip inference program (uint8 batch -> normalize -> int8
+VGG16 SSD trunk -> bf16 heads -> decode -> Pallas per-class NMS) at bs=64
+on one chip — BASELINE.json config #2 / the ≥5000 img/s/chip north star.
+The int8 trunk is the production serving path (v5e doubles MXU rate for
+int8; PTQ parity is tested in tests/test_quant.py); on non-TPU backends
+the bench falls back to the float path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 5000 (the BASELINE.json target; the reference repo
@@ -40,16 +43,34 @@ def main() -> None:
     variables = model.init(jax.random.key(0), jnp.zeros((1, s, s, 3)), train=False)
     anchors = jnp.asarray(ssd_anchors(cfg.anchors, s))
 
-    @jax.jit
-    def infer(params, images_u8):
-        images = aug_ops.normalize(images_u8.astype(jnp.float32) / 255.0)
-        cls_logits, box_offsets = model.apply({"params": params}, images, train=False)
-        det = postprocess(cls_logits, box_offsets, anchors, cfg, use_pallas=on_tpu)
-        return det.boxes, det.scores, det.classes, det.valid
-
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, (batch_size, s, s, 3), dtype=np.uint8))
-    params = variables["params"]
+    float_params = variables["params"]
+
+    if on_tpu:
+        # Production path: int8 PTQ trunk + bf16 heads (quant/engine.py).
+        from object_detector_tpu.quant import engine as qengine
+
+        calib = aug_ops.normalize(images[:16].astype(jnp.float32) / 255.0)
+        qp, spec = qengine.quantize_ssd(cfg, float_params, [calib])
+        params = jax.device_put(qp)
+
+        @jax.jit
+        def infer(p, images_u8):
+            imgs = aug_ops.normalize(images_u8.astype(jnp.float32) / 255.0)
+            cls_logits, box_offsets = qengine.int8_forward(p, spec, cfg, imgs)
+            det = postprocess(cls_logits, box_offsets, anchors, cfg, use_pallas=True)
+            return det.boxes, det.scores, det.classes, det.valid
+
+    else:
+        params = float_params
+
+        @jax.jit
+        def infer(p, images_u8):
+            imgs = aug_ops.normalize(images_u8.astype(jnp.float32) / 255.0)
+            cls_logits, box_offsets = model.apply({"params": p}, imgs, train=False)
+            det = postprocess(cls_logits, box_offsets, anchors, cfg, use_pallas=False)
+            return det.boxes, det.scores, det.classes, det.valid
 
     # Tunnel-correct timing (device_get fence; block_until_ready is a no-op
     # under axon — see benchmarks/timing.py).

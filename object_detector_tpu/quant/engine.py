@@ -1,0 +1,340 @@
+"""Int8 post-training-quantization inference engine for the SSD family.
+
+Why: v5e doubles MXU throughput for int8 (measured on this chip:
+bf16 conv 193 TOP/s, int8+fused-requant 325 TOP/s — benchmarks/
+int8_conv_bench.py), and SSD-300 bs=64 inference is MXU-bound. PTQ with
+per-output-channel weight scales and per-tensor activation scales is the
+standard production recipe (typical SSD mAP cost < 0.3).
+
+Design: the conv trunk (backbone + extra layers) is described once as an
+op list generated from the DetectorConfig (`build_ssd_spec`) and executed
+by two interpreters sharing that single source of truth:
+
+  - `run_float`    — reference float path; also records per-stage
+                     activation absmax for calibration.
+  - `run_int8`     — int8 path: int8 conv -> int32 accum -> fused
+                     dequant+bias+relu+requant epilogue (XLA fuses this
+                     into the conv). Max pools run directly on int8
+                     (order-preserving).
+
+Prediction heads and L2Norm stay in the float compute dtype (a few % of
+FLOPs; keeps logits/box regressions full quality). Weights quantize
+per-output-channel; activations per-tensor from calibration batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_detector_tpu.core.config import DetectorConfig
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvOp:
+    path: str  # param path, e.g. "backbone/conv1_1"
+    kernel: int = 3
+    stride: int = 1
+    padding: str = "SAME"
+    dilation: int = 1
+    relu: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PoolOp:
+    size: int = 2
+    stride: int = 2
+    pad_same: bool = False  # True -> SAME padding (pool5 3x3/1)
+
+
+@dataclasses.dataclass(frozen=True)
+class PadToEvenOp:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class TapOp:
+    index: int
+
+
+Spec = List[Any]
+
+
+def build_ssd_spec(cfg: DetectorConfig) -> Spec:
+    """Op list mirroring models/ssd.py + models/vgg.py exactly (VGG16)."""
+    if cfg.model.backbone != "vgg16":
+        raise NotImplementedError("int8 engine currently covers the VGG16 SSD trunk")
+    spec: Spec = [
+        ConvOp("backbone/conv1_1"), ConvOp("backbone/conv1_2"), PoolOp(),
+        ConvOp("backbone/conv2_1"), ConvOp("backbone/conv2_2"), PoolOp(),
+        ConvOp("backbone/conv3_1"), ConvOp("backbone/conv3_2"),
+        ConvOp("backbone/conv3_3"), PadToEvenOp(), PoolOp(),
+        ConvOp("backbone/conv4_1"), ConvOp("backbone/conv4_2"),
+        ConvOp("backbone/conv4_3"), TapOp(0), PoolOp(),
+        ConvOp("backbone/conv5_1"), ConvOp("backbone/conv5_2"),
+        ConvOp("backbone/conv5_3"), PoolOp(3, 1, pad_same=True),
+        ConvOp("backbone/fc6", dilation=6), ConvOp("backbone/fc7", kernel=1),
+        TapOp(1),
+    ]
+    n_levels = len(cfg.anchors.feature_sizes)
+    n_extra = n_levels - 2
+    for i in range(n_extra):
+        if cfg.model.image_size >= 512:
+            stride, padding = 2, "SAME"
+        else:
+            stride, padding = (2, "SAME") if i < 2 else (1, "VALID")
+        spec.append(ConvOp(f"extras/conv{8+i}_1", kernel=1))
+        spec.append(ConvOp(f"extras/conv{8+i}_2", stride=stride, padding=padding))
+        spec.append(TapOp(2 + i))
+    return spec
+
+
+def _get_path(params: Dict[str, Any], path: str) -> Dict[str, Any]:
+    node: Any = params
+    for part in path.split("/"):
+        node = node[part]
+    return node
+
+
+def _conv(x: Array, kernel: Array, op: ConvOp, accum_dtype) -> Array:
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        (op.stride, op.stride),
+        op.padding,
+        rhs_dilation=(op.dilation, op.dilation),
+        dimension_numbers=dn,
+        preferred_element_type=accum_dtype,
+    )
+
+
+def _pool(x: Array, op: PoolOp) -> Array:
+    pad = "SAME" if op.pad_same else "VALID"
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = jnp.array(-jnp.inf, x.dtype)
+    else:
+        init = jnp.array(jnp.iinfo(x.dtype).min, x.dtype)
+    return jax.lax.reduce_window(
+        x,
+        init,
+        jax.lax.max,
+        (1, op.size, op.size, 1),
+        (1, op.stride, op.stride, 1),
+        pad,
+    )
+
+
+# --------------------------------------------------------------------------
+# Float reference / calibration pass
+# --------------------------------------------------------------------------
+
+def run_float(
+    params: Dict[str, Any],
+    spec: Spec,
+    images: Array,  # normalized float input (B, S, S, 3)
+    compute_dtype=jnp.float32,
+) -> Tuple[List[Array], Dict[str, Array]]:
+    """Run the trunk in float; returns (taps, absmax-per-stage).
+
+    absmax records the post-activation maximum magnitude of every conv
+    output plus the trunk input under key "__input__" (per-tensor scales).
+    """
+    absmax: Dict[str, Array] = {"__input__": jnp.max(jnp.abs(images))}
+    x = images.astype(compute_dtype)
+    taps: List[Array] = [None] * _num_taps(spec)  # type: ignore[list-item]
+    for op in spec:
+        if isinstance(op, ConvOp):
+            p = _get_path(params, op.path)
+            y = _conv(x, p["kernel"].astype(compute_dtype), op, jnp.float32)
+            y = y + p["bias"].astype(jnp.float32)
+            if op.relu:
+                y = jnp.maximum(y, 0.0)
+            x = y.astype(compute_dtype)
+            absmax[op.path] = jnp.max(jnp.abs(x))
+        elif isinstance(op, PoolOp):
+            x = _pool(x, op)
+        elif isinstance(op, PadToEvenOp):
+            if x.shape[1] % 2 == 1:
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+        elif isinstance(op, TapOp):
+            taps[op.index] = x
+    return taps, absmax
+
+
+def _num_taps(spec: Spec) -> int:
+    return sum(1 for op in spec if isinstance(op, TapOp))
+
+
+# --------------------------------------------------------------------------
+# Quantization
+# --------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantParams:
+    """Int8 trunk weights + scales; float head params ride along.
+
+    Registered as a pytree so it can be device_put / passed through jit.
+    Activation scales are static metadata (Python floats baked into the
+    compiled program).
+    """
+
+    w_int8: Dict[str, np.ndarray]  # path -> int8 HWIO kernel
+    w_scale: Dict[str, np.ndarray]  # path -> (out_ch,) f32
+    bias: Dict[str, np.ndarray]  # path -> (out_ch,) f32
+    act_scale: Dict[str, float]  # stage path (or __input__) -> f32 scalar
+    float_params: Dict[str, Any]  # full original float params (heads, l2norm)
+
+
+def calibrate_scales(
+    params: Dict[str, Any], spec: Spec, batches: Sequence[Array]
+) -> Dict[str, float]:
+    """Per-tensor activation scales (absmax/127) over calibration batches."""
+    agg: Dict[str, float] = {}
+    run = jax.jit(lambda p, im: run_float(p, spec, im)[1])
+    for images in batches:
+        absmax = jax.device_get(run(params, images))
+        for key, val in absmax.items():
+            agg[key] = max(agg.get(key, 0.0), float(val))
+    return {k: max(v, 1e-6) / 127.0 for k, v in agg.items()}
+
+
+def quantize_params(
+    params: Dict[str, Any], spec: Spec, act_scale: Dict[str, float]
+) -> QuantParams:
+    w_int8: Dict[str, np.ndarray] = {}
+    w_scale: Dict[str, np.ndarray] = {}
+    bias: Dict[str, np.ndarray] = {}
+    for op in spec:
+        if not isinstance(op, ConvOp):
+            continue
+        p = _get_path(params, op.path)
+        w = np.asarray(p["kernel"], np.float32)  # (kh, kw, in, out)
+        s = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0) / 127.0  # per out-ch
+        s = np.maximum(s, 1e-8).astype(np.float32)
+        w_int8[op.path] = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        w_scale[op.path] = s
+        bias[op.path] = np.asarray(p["bias"], np.float32)
+    return QuantParams(
+        w_int8=w_int8, w_scale=w_scale, bias=bias,
+        act_scale=dict(act_scale), float_params=params,
+    )
+
+
+# --------------------------------------------------------------------------
+# Int8 inference pass
+# --------------------------------------------------------------------------
+
+def run_int8(
+    qp: QuantParams,
+    spec: Spec,
+    images: Array,  # normalized float input (B, S, S, 3)
+) -> List[Array]:
+    """Int8 trunk forward -> float taps (dequantized, compute dtype bf16)."""
+    in_scale = qp.act_scale["__input__"]
+    x = jnp.clip(jnp.round(images / in_scale), -127, 127).astype(jnp.int8)
+    cur_scale = in_scale
+
+    taps: List[Array] = [None] * _num_taps(spec)  # type: ignore[list-item]
+    for op in spec:
+        if isinstance(op, ConvOp):
+            acc = _conv(x, jnp.asarray(qp.w_int8[op.path]), op, jnp.int32)
+            # Fused epilogue: dequant (per-channel) + bias + relu + requant.
+            deq = cur_scale * jnp.asarray(qp.w_scale[op.path])  # (out_ch,)
+            y = acc.astype(jnp.float32) * deq + jnp.asarray(qp.bias[op.path])
+            if op.relu:
+                y = jnp.maximum(y, 0.0)
+            out_scale = qp.act_scale[op.path]
+            x = jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
+            cur_scale = out_scale
+        elif isinstance(op, PoolOp):
+            x = _pool(x, op)  # int8 max pool is exact
+        elif isinstance(op, PadToEvenOp):
+            if x.shape[1] % 2 == 1:
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+        elif isinstance(op, TapOp):
+            taps[op.index] = x.astype(jnp.bfloat16) * jnp.bfloat16(cur_scale)
+    return taps
+
+
+# --------------------------------------------------------------------------
+# Heads (float) + full model assembly
+# --------------------------------------------------------------------------
+
+def _head_conv(x: Array, p: Dict[str, Any], dtype) -> Array:
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, p["kernel"].shape, ("NHWC", "HWIO", "NHWC")
+    )
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), p["kernel"].astype(dtype), (1, 1), "SAME",
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    )
+    return y + p["bias"].astype(jnp.float32)
+
+
+def apply_heads(
+    params: Dict[str, Any],
+    taps: List[Array],
+    cfg: DetectorConfig,
+    dtype=jnp.bfloat16,
+) -> Tuple[Array, Array]:
+    """L2Norm on tap0 + per-level cls/box heads; mirrors models/ssd.py."""
+    taps = list(taps)
+    # L2Norm (float): x * rsqrt(sum x^2) * scale.
+    scale = params["l2norm"]["scale"].astype(dtype)
+    t0 = taps[0].astype(dtype)
+    sq = jnp.sum(jnp.square(t0), axis=-1, keepdims=True, dtype=jnp.float32)
+    taps[0] = t0 * jax.lax.rsqrt(sq + 1e-12).astype(dtype) * scale
+
+    cls_out, box_out = [], []
+    for level, (tap, a) in enumerate(zip(taps, cfg.anchors.anchors_per_level)):
+        hp = params[f"head{level}"]
+        b, h, w, _ = tap.shape
+        cls = _head_conv(tap, hp["cls"], dtype).reshape(
+            b, h * w * a, cfg.model.num_classes
+        )
+        box = _head_conv(tap, hp["box"], dtype).reshape(b, h * w * a, 4)
+        cls_out.append(cls)
+        box_out.append(box)
+    return (
+        jnp.concatenate(cls_out, axis=1).astype(jnp.float32),
+        jnp.concatenate(box_out, axis=1).astype(jnp.float32),
+    )
+
+
+def quantize_ssd(
+    cfg: DetectorConfig,
+    params: Dict[str, Any],
+    calibration_batches: Sequence[Array],
+) -> Tuple[QuantParams, Spec]:
+    """One-call PTQ: calibrate + quantize. `calibration_batches` are
+    normalized float image batches."""
+    spec = build_ssd_spec(cfg)
+    scales = calibrate_scales(params, spec, calibration_batches)
+    return quantize_params(params, spec, scales), spec
+
+
+def int8_forward(
+    qp: QuantParams, spec: Spec, cfg: DetectorConfig, images: Array
+) -> Tuple[Array, Array]:
+    """Normalized float images -> (cls_logits, box_offsets), int8 trunk."""
+    taps = run_int8(qp, spec, images)
+    return apply_heads(qp.float_params, taps, cfg)
+
+
+def float_forward(
+    params: Dict[str, Any], spec: Spec, cfg: DetectorConfig, images: Array,
+    compute_dtype=jnp.float32,
+) -> Tuple[Array, Array]:
+    """Reference float path through the same spec (parity oracle)."""
+    taps, _ = run_float(params, spec, images, compute_dtype)
+    return apply_heads(params, taps, cfg, dtype=compute_dtype)

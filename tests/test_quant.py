@@ -1,0 +1,60 @@
+"""Int8 PTQ engine tests (CPU): spec parity with the flax model + int8
+accuracy against the float reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from object_detector_tpu.core.config import tiny_test_config
+from object_detector_tpu.models.ssd import SSDModel
+from object_detector_tpu.quant import engine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    model = SSDModel(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-2.0, 2.0, (2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    return cfg, model, variables["params"], x
+
+
+def test_float_spec_matches_flax_model(setup):
+    """The op-list executor must reproduce SSDModel.apply exactly."""
+    cfg, model, params, x = setup
+    want_cls, want_box = model.apply({"params": params}, x, train=False)
+    spec = engine.build_ssd_spec(cfg)
+    got_cls, got_box = engine.float_forward(params, spec, cfg, x)
+    np.testing.assert_allclose(np.asarray(got_cls), np.asarray(want_cls), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_box), np.asarray(want_box), atol=1e-4)
+
+
+def test_int8_close_to_float(setup):
+    cfg, _, params, x = setup
+    qp, spec = engine.quantize_ssd(cfg, params, [x])
+    f_cls, f_box = engine.float_forward(params, spec, cfg, x)
+    q_cls, q_box = engine.int8_forward(qp, spec, cfg, x)
+    # Random-weight activations are near-zero-mean; PTQ noise should keep
+    # logits within a small absolute band.
+    cls_err = np.abs(np.asarray(q_cls) - np.asarray(f_cls))
+    box_err = np.abs(np.asarray(q_box) - np.asarray(f_box))
+    assert np.percentile(cls_err, 99) < 0.15, np.percentile(cls_err, 99)
+    assert np.percentile(box_err, 99) < 0.15, np.percentile(box_err, 99)
+
+
+def test_int8_weights_are_int8(setup):
+    cfg, _, params, x = setup
+    qp, spec = engine.quantize_ssd(cfg, params, [x])
+    for path, w in qp.w_int8.items():
+        assert w.dtype == np.int8
+        assert qp.w_scale[path].shape == (w.shape[-1],)
+
+
+def test_calibration_scales_positive(setup):
+    cfg, _, params, x = setup
+    spec = engine.build_ssd_spec(cfg)
+    scales = engine.calibrate_scales(params, spec, [x])
+    assert all(v > 0 for v in scales.values())
+    assert "__input__" in scales
