@@ -1,0 +1,68 @@
+"""Training-step throughput: SSD-300 VOC config, single chip.
+
+Measures the full jitted step (on-device augmentation -> matching ->
+forward -> focal/smooth-L1 -> backward -> SGD update) — BASELINE config #4
+is this step data-parallel over 8 chips; per-chip throughput is the
+scaling unit (gradient all-reduce is the only collective).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+from object_detector_tpu.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.timing import timed
+from object_detector_tpu.anchors.priors import ssd_anchors
+from object_detector_tpu.core.config import get_config
+from object_detector_tpu.train.loop import init_model_state
+from object_detector_tpu.train.step import make_train_step
+
+
+def main():
+    cfg = get_config("ssd300_vgg16_voc")
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    cfg = cfg.override({"train.batch_size": bs})
+    s = cfg.model.image_size
+    m = cfg.data.max_boxes
+
+    model, state = init_model_state(cfg, jax.random.key(0))
+    anchors = ssd_anchors(cfg.anchors, s)
+    step_fn = make_train_step(cfg, model, anchors, mesh=None, augment=True)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.integers(0, 255, (bs, s, s, 3), dtype=np.uint8)),
+        "boxes": jnp.asarray(
+            np.tile(np.array([[0.2, 0.2, 0.6, 0.6], [0.5, 0.1, 0.9, 0.4]],
+                             np.float32)[None], (bs, m // 2, 1))[:, :m]
+        ),
+        "labels": jnp.ones((bs, m), jnp.int32),
+        "valid": jnp.asarray(np.tile(np.arange(m) < 4, (bs, 1))),
+    }
+    key = jax.random.key(1)
+
+    # NOTE: the step donates its input state; wrap so timing re-feeds the
+    # returned state (steady-state training behavior).
+    class Stepper:
+        def __init__(self, st):
+            self.state = st
+
+        def __call__(self, b, k):
+            self.state, metrics = step_fn(self.state, b, k)
+            return metrics["loss"]
+
+    stepper = Stepper(state)
+    dt = timed(stepper, batch, key, iters=20)
+    print(f"train step bs={bs}: {dt*1e3:.2f} ms  {bs/dt:.1f} img/s/chip")
+
+
+if __name__ == "__main__":
+    main()
