@@ -57,9 +57,12 @@ def make_synthetic_dataset(
 
 
 def render_synthetic_image(record: ImageRecord, image_size: int | None = None) -> np.ndarray:
-    """Render a record to (S, S, 3) uint8. Deterministic per image_id."""
+    """Render a record to (S, S, 3) uint8. Deterministic per image_id
+    (crc32, NOT builtin hash() — that one is salted per process)."""
+    import zlib
+
     s = image_size or record.width
-    seed = abs(hash(record.image_id)) % (2**32)
+    seed = zlib.crc32(record.image_id.encode()) % (2**32)
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 60, (s, s, 3), dtype=np.uint8)
     palette = np.array(

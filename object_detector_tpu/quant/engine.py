@@ -118,6 +118,9 @@ def _conv(x: Array, kernel: Array, op: ConvOp, accum_dtype) -> Array:
 
 
 def _pool(x: Array, op: PoolOp) -> Array:
+    # NOTE: a strided-slice max formulation was measured SLOWER than
+    # reduce_window on int8 TPU layouts (spatial slicing forces relayouts
+    # of T(8,128)(4,1) tiles) — keep reduce_window.
     pad = "SAME" if op.pad_same else "VALID"
     if jnp.issubdtype(x.dtype, jnp.floating):
         init = jnp.array(-jnp.inf, x.dtype)
@@ -198,14 +201,36 @@ class QuantParams:
 def calibrate_scales(
     params: Dict[str, Any], spec: Spec, batches: Sequence[Array]
 ) -> Dict[str, float]:
-    """Per-tensor activation scales (absmax/127) over calibration batches."""
+    """Per-tensor activation scales (absmax/127) over calibration batches.
+
+    Also records "__l2norm__" (the L2Norm'd tap-0 feeding head0) so heads
+    can run int8.
+    """
     agg: Dict[str, float] = {}
-    run = jax.jit(lambda p, im: run_float(p, spec, im)[1])
+
+    def probe(p, im):
+        taps, absmax = run_float(p, spec, im)
+        t0 = taps[0]
+        sq = jnp.sum(jnp.square(t0), axis=-1, keepdims=True, dtype=jnp.float32)
+        ln = t0 * jax.lax.rsqrt(sq + 1e-12) * p["l2norm"]["scale"]
+        absmax = dict(absmax)
+        absmax["__l2norm__"] = jnp.max(jnp.abs(ln))
+        return absmax
+
+    run = jax.jit(probe)
     for images in batches:
         absmax = jax.device_get(run(params, images))
         for key, val in absmax.items():
             agg[key] = max(agg.get(key, 0.0), float(val))
     return {k: max(v, 1e-6) / 127.0 for k, v in agg.items()}
+
+
+def _quantize_kernel(p: Dict[str, Any]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    w = np.asarray(p["kernel"], np.float32)  # (kh, kw, in, out)
+    s = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0) / 127.0  # per out-ch
+    s = np.maximum(s, 1e-8).astype(np.float32)
+    w_q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return w_q, s, np.asarray(p["bias"], np.float32)
 
 
 def quantize_params(
@@ -217,13 +242,14 @@ def quantize_params(
     for op in spec:
         if not isinstance(op, ConvOp):
             continue
-        p = _get_path(params, op.path)
-        w = np.asarray(p["kernel"], np.float32)  # (kh, kw, in, out)
-        s = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0) / 127.0  # per out-ch
-        s = np.maximum(s, 1e-8).astype(np.float32)
-        w_int8[op.path] = np.clip(np.round(w / s), -127, 127).astype(np.int8)
-        w_scale[op.path] = s
-        bias[op.path] = np.asarray(p["bias"], np.float32)
+        w_q, s, b = _quantize_kernel(_get_path(params, op.path))
+        w_int8[op.path], w_scale[op.path], bias[op.path] = w_q, s, b
+    # Prediction heads (they consume int8 taps directly).
+    for level in range(_num_taps(spec)):
+        for kind in ("cls", "box"):
+            path = f"head{level}/{kind}"
+            w_q, s, b = _quantize_kernel(_get_path(params, path))
+            w_int8[path], w_scale[path], bias[path] = w_q, s, b
     return QuantParams(
         w_int8=w_int8, w_scale=w_scale, bias=bias,
         act_scale=dict(act_scale), float_params=params,
@@ -238,13 +264,18 @@ def run_int8(
     qp: QuantParams,
     spec: Spec,
     images: Array,  # normalized float input (B, S, S, 3)
-) -> List[Array]:
-    """Int8 trunk forward -> float taps (dequantized, compute dtype bf16)."""
+    dequantize_taps: bool = True,
+) -> List[Any]:
+    """Int8 trunk forward.
+
+    dequantize_taps=True  -> list of bf16 float taps (for float heads)
+    dequantize_taps=False -> list of (int8 tap, scale) (for int8 heads)
+    """
     in_scale = qp.act_scale["__input__"]
     x = jnp.clip(jnp.round(images / in_scale), -127, 127).astype(jnp.int8)
     cur_scale = in_scale
 
-    taps: List[Array] = [None] * _num_taps(spec)  # type: ignore[list-item]
+    taps: List[Any] = [None] * _num_taps(spec)
     for op in spec:
         if isinstance(op, ConvOp):
             acc = _conv(x, jnp.asarray(qp.w_int8[op.path]), op, jnp.int32)
@@ -262,8 +293,52 @@ def run_int8(
             if x.shape[1] % 2 == 1:
                 x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
         elif isinstance(op, TapOp):
-            taps[op.index] = x.astype(jnp.bfloat16) * jnp.bfloat16(cur_scale)
+            if dequantize_taps:
+                taps[op.index] = x.astype(jnp.bfloat16) * jnp.bfloat16(cur_scale)
+            else:
+                taps[op.index] = (x, cur_scale)
     return taps
+
+
+def apply_heads_int8(
+    qp: QuantParams,
+    taps_q: List[Tuple[Array, float]],
+    cfg: DetectorConfig,
+) -> Tuple[Array, Array]:
+    """Int8 prediction heads over int8 taps.
+
+    L2Norm on tap0 is scale-invariant in its input (x/||x|| cancels any
+    per-tensor scale), so it runs directly on the int8 codes and requants
+    with the calibrated "__l2norm__" scale. Head convs are int8 with f32
+    dequant outputs (no further requant — these are the final logits).
+    """
+    taps = list(taps_q)
+    q0, _ = taps[0]
+    qf = q0.astype(jnp.float32)
+    sq = jnp.sum(jnp.square(qf), axis=-1, keepdims=True)
+    gamma = qp.float_params["l2norm"]["scale"].astype(jnp.float32)
+    ln = qf * jax.lax.rsqrt(sq + 1e-12) * gamma
+    s0 = qp.act_scale["__l2norm__"]
+    taps[0] = (
+        jnp.clip(jnp.round(ln / s0), -127, 127).astype(jnp.int8),
+        s0,
+    )
+
+    cls_out, box_out = [], []
+    for level, ((tap, s_tap), a) in enumerate(
+        zip(taps, cfg.anchors.anchors_per_level)
+    ):
+        b, h, w, _ = tap.shape
+        outs = {}
+        for kind in ("cls", "box"):
+            path = f"head{level}/{kind}"
+            op = ConvOp(path, relu=False)
+            acc = _conv(tap, jnp.asarray(qp.w_int8[path]), op, jnp.int32)
+            deq = s_tap * jnp.asarray(qp.w_scale[path])
+            outs[kind] = acc.astype(jnp.float32) * deq + jnp.asarray(qp.bias[path])
+        cls_out.append(outs["cls"].reshape(b, h * w * a, cfg.model.num_classes))
+        box_out.append(outs["box"].reshape(b, h * w * a, 4))
+    return jnp.concatenate(cls_out, axis=1), jnp.concatenate(box_out, axis=1)
 
 
 # --------------------------------------------------------------------------
@@ -324,9 +399,16 @@ def quantize_ssd(
 
 
 def int8_forward(
-    qp: QuantParams, spec: Spec, cfg: DetectorConfig, images: Array
+    qp: QuantParams,
+    spec: Spec,
+    cfg: DetectorConfig,
+    images: Array,
+    int8_heads: bool = True,
 ) -> Tuple[Array, Array]:
     """Normalized float images -> (cls_logits, box_offsets), int8 trunk."""
+    if int8_heads:
+        taps_q = run_int8(qp, spec, images, dequantize_taps=False)
+        return apply_heads_int8(qp, taps_q, cfg)
     taps = run_int8(qp, spec, images)
     return apply_heads(qp.float_params, taps, cfg)
 
