@@ -1,0 +1,117 @@
+"""Dataset reader tests: VOC XML / COCO JSON fixtures + pipeline cache."""
+
+import json
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from object_detector_tpu.data.coco import load_coco
+from object_detector_tpu.data.pipeline import DecodedCache, epoch_batches
+from object_detector_tpu.data.synthetic import make_synthetic_dataset
+from object_detector_tpu.data.types import pad_annotations
+from object_detector_tpu.data.voc import VOC_CLASSES, load_voc, parse_voc_xml
+
+VOC_XML = textwrap.dedent("""\
+    <annotation>
+      <size><width>400</width><height>200</height><depth>3</depth></size>
+      <object>
+        <name>dog</name><difficult>0</difficult>
+        <bndbox><xmin>41</xmin><ymin>21</ymin><xmax>201</xmax><ymax>101</ymax></bndbox>
+      </object>
+      <object>
+        <name>person</name><difficult>1</difficult>
+        <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>400</xmax><ymax>200</ymax></bndbox>
+      </object>
+      <object>
+        <name>notaclass</name>
+        <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>10</xmax><ymax>10</ymax></bndbox>
+      </object>
+    </annotation>
+""")
+
+
+def test_parse_voc_xml(tmp_path):
+    p = tmp_path / "000001.xml"
+    p.write_text(VOC_XML)
+    rec = parse_voc_xml(str(p))
+    assert rec.image_id == "000001"
+    assert rec.width == 400 and rec.height == 200
+    assert len(rec.boxes) == 2  # unknown class dropped
+    # 1-based inclusive -> normalized: (41-1)/400 = 0.1, (21-1)/200 = 0.1
+    np.testing.assert_allclose(rec.boxes[0], [0.1, 0.1, 0.5, 0.5], atol=1e-6)
+    assert rec.labels[0] == VOC_CLASSES.index("dog") + 1
+    assert rec.difficult.tolist() == [False, True]
+
+
+def test_load_voc_split(tmp_path):
+    base = tmp_path / "VOC2007"
+    (base / "Annotations").mkdir(parents=True)
+    (base / "ImageSets" / "Main").mkdir(parents=True)
+    (base / "JPEGImages").mkdir()
+    for i in range(3):
+        (base / "Annotations" / f"{i:06d}.xml").write_text(VOC_XML)
+    (base / "ImageSets" / "Main" / "train.txt").write_text(
+        "000000\n000002\n"
+    )
+    ds = load_voc(str(tmp_path), "train")
+    assert len(ds) == 2
+    assert ds.num_classes == 20
+    assert ds.records[0].path.endswith("000000.jpg")
+
+
+def test_load_coco(tmp_path):
+    blob = {
+        "images": [
+            {"id": 7, "width": 100, "height": 50, "file_name": "a.jpg"},
+            {"id": 8, "width": 100, "height": 50, "file_name": "b.jpg"},
+        ],
+        "annotations": [
+            {"image_id": 7, "category_id": 18, "bbox": [10, 5, 20, 10], "iscrowd": 0},
+            {"image_id": 7, "category_id": 44, "bbox": [0, 0, 50, 25], "iscrowd": 1},
+            {"image_id": 8, "category_id": 44, "bbox": [1, 1, 0.5, 10], "iscrowd": 0},
+        ],
+        "categories": [
+            {"id": 18, "name": "dog"},
+            {"id": 44, "name": "bottle"},
+        ],
+    }
+    ann_dir = tmp_path / "annotations"
+    ann_dir.mkdir()
+    (ann_dir / "instances_val.json").write_text(json.dumps(blob))
+    ds = load_coco(str(tmp_path), "val")
+    assert len(ds) == 2
+    assert ds.class_names == ["dog", "bottle"]
+    rec7 = next(r for r in ds.records if r.image_id == "7")
+    assert len(rec7.boxes) == 1  # crowd dropped
+    np.testing.assert_allclose(rec7.boxes[0], [0.1, 0.1, 0.3, 0.3], atol=1e-6)
+    assert rec7.labels[0] == 1  # contiguous remap, sorted by category id
+    rec8 = next(r for r in ds.records if r.image_id == "8")
+    assert len(rec8.boxes) == 0  # degenerate bbox dropped
+
+
+def test_pad_annotations_truncates():
+    ds = make_synthetic_dataset(num_images=1, max_objects=3, seed=3)
+    rec = ds.records[0]
+    boxes, labels, valid = pad_annotations(rec, max_boxes=2)
+    assert boxes.shape == (2, 4) and valid.sum() <= 2
+
+
+def test_epoch_batches_resume():
+    ds = make_synthetic_dataset(num_images=16, image_size=32)
+    cache = DecodedCache(ds, 32, max_boxes=4, num_workers=1)
+    a = epoch_batches(cache, batch_size=4, seed=0)
+    first_five = [next(a)["image"].sum() for _ in range(5)]
+    b = epoch_batches(cache, batch_size=4, seed=0, start_step=3)
+    resumed = [next(b)["image"].sum() for _ in range(2)]
+    assert resumed == first_five[3:5], "resume must continue the same stream"
+
+
+def test_decoded_cache_npz_roundtrip(tmp_path):
+    ds = make_synthetic_dataset(num_images=4, image_size=32)
+    path = str(tmp_path / "cache.npz")
+    c1 = DecodedCache(ds, 32, max_boxes=4, num_workers=1, cache_path=path)
+    c2 = DecodedCache(ds, 32, max_boxes=4, num_workers=1, cache_path=path)
+    np.testing.assert_array_equal(c1.images, c2.images)
+    np.testing.assert_array_equal(c1.boxes, c2.boxes)
