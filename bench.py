@@ -48,11 +48,26 @@ def main() -> None:
     float_params = variables["params"]
 
     if on_tpu:
-        # Production path: int8 PTQ trunk + bf16 heads (quant/engine.py).
+        # Production path: int8 PTQ trunk + int8 heads (quant/engine.py).
         from object_detector_tpu.quant import engine as qengine
 
-        calib = aug_ops.normalize(images[:16].astype(jnp.float32) / 255.0)
-        qp, spec = qengine.quantize_ssd(cfg, float_params, [calib])
+        spec = qengine.build_ssd_spec(cfg)
+        # Calibration scales are deterministic for this seeded model; use
+        # the committed fixture to skip compiling the calibration program
+        # (keeps bench wall-clock bounded for the driver).
+        scales_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", "bench_act_scales.json",
+        )
+        if os.path.exists(scales_path):
+            with open(scales_path) as f:
+                scales = {k: float(v) for k, v in json.load(f).items()}
+        else:
+            calib = aug_ops.normalize(images[:16].astype(jnp.float32) / 255.0)
+            scales = qengine.calibrate_scales(float_params, spec, [calib])
+            with open(scales_path, "w") as f:
+                json.dump(scales, f, indent=1)
+        qp = qengine.quantize_params(float_params, spec, scales)
         params = jax.device_put(qp)
 
         @jax.jit

@@ -284,6 +284,10 @@ def run_int8(
             y = acc.astype(jnp.float32) * deq + jnp.asarray(qp.bias[op.path])
             if op.relu:
                 y = jnp.maximum(y, 0.0)
+            # NOTE: pooling in f32 here (pool commutes with requant) was
+            # measured SLOWER — it breaks the conv+requant epilogue fusion
+            # and materializes the f32 conv output to HBM. Keep requant
+            # fused and pool on int8.
             out_scale = qp.act_scale[op.path]
             x = jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
             cur_scale = out_scale
