@@ -35,7 +35,9 @@ from object_detector_tpu.ops.nms import Detections
 Array = jnp.ndarray
 
 _LANE = 128
-_ROW_CHUNK = 256  # rows (image*class problems) per grid step
+# Rows (image*class problems) per grid step. 256 measured best at M=512
+# (512-row blocks were a wash — VMEM double-buffering pressure).
+_ROW_CHUNK = 256
 
 
 def _round_up(x: int, m: int) -> int:
