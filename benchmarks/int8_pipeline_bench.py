@@ -23,8 +23,10 @@ from object_detector_tpu.quant import engine
 
 
 def main():
-    cfg = get_config("ssd300_infer_bs64")
-    bs, s = cfg.eval.batch_size, cfg.model.image_size
+    preset = sys.argv[1] if len(sys.argv) > 1 else "ssd300_infer_bs64"
+    cfg = get_config(preset)
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else cfg.eval.batch_size
+    s = cfg.model.image_size
     on_tpu = jax.default_backend() == "tpu"
     model = SSDModel(cfg)
     variables = model.init(jax.random.key(0), jnp.zeros((1, s, s, 3)), train=False)
@@ -33,8 +35,10 @@ def main():
 
     rng = np.random.default_rng(0)
     images_u8 = jnp.asarray(rng.integers(0, 255, (bs, s, s, 3), dtype=np.uint8))
-    calib = aug_ops.normalize(images_u8[:16].astype(jnp.float32) / 255.0)
-    qp, spec = engine.quantize_ssd(cfg, params, [calib])
+    calib = aug_ops.normalize(images_u8[:8].astype(jnp.float32) / 255.0)
+    qp, spec = engine.quantize_ssd(
+        cfg, params, [calib], batch_stats=variables.get("batch_stats")
+    )
 
     qp_dev = jax.device_put(qp)  # dataclass of dicts -> device arrays
 

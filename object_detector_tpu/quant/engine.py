@@ -41,9 +41,27 @@ class ConvOp:
     path: str  # param path, e.g. "backbone/conv1_1"
     kernel: int = 3
     stride: int = 1
-    padding: str = "SAME"
+    padding: Any = "SAME"  # "SAME" | "VALID" | int (explicit symmetric)
     dilation: int = 1
     relu: bool = True
+    # Residual support (ResNet): add the named register into the conv
+    # epilogue before the (optional) relu. The register holds the SAVED
+    # activation from a SaveOp.
+    add_register: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class SaveOp:
+    """Save the current activation into a named register (residual input)."""
+
+    name: str
+
+
+@dataclasses.dataclass(frozen=True)
+class LoadOp:
+    """Restore a register as the current activation (branching support)."""
+
+    name: str
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +69,7 @@ class PoolOp:
     size: int = 2
     stride: int = 2
     pad_same: bool = False  # True -> SAME padding (pool5 3x3/1)
+    explicit_pad: Optional[int] = None  # symmetric spatial pad (ResNet stem)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,10 +85,107 @@ class TapOp:
 Spec = List[Any]
 
 
+def _extras_spec(cfg: DetectorConfig, n_taps_so_far: int) -> Spec:
+    """Extra-layer ops mirroring models/ssd.py SSDExtraLayers selection."""
+    spec: Spec = []
+    n_extra = len(cfg.anchors.feature_sizes) - n_taps_so_far
+    for i in range(n_extra):
+        if cfg.model.image_size >= 512:
+            stride, padding = 2, "SAME"
+        else:
+            stride, padding = (2, "SAME") if i < 2 else (1, "VALID")
+        spec.append(ConvOp(f"extras/conv{8+i}_1", kernel=1))
+        spec.append(ConvOp(f"extras/conv{8+i}_2", stride=stride, padding=padding))
+        spec.append(TapOp(n_taps_so_far + i))
+    return spec
+
+
+def build_spec(cfg: DetectorConfig) -> Spec:
+    """Op list for the configured SSD trunk (VGG16 or ResNet-50)."""
+    if cfg.model.backbone == "vgg16":
+        return build_ssd_spec(cfg)
+    if cfg.model.backbone == "resnet50":
+        return build_resnet_ssd_spec(cfg)
+    raise NotImplementedError(f"int8 engine: unknown backbone {cfg.model.backbone}")
+
+
+def build_resnet_ssd_spec(cfg: DetectorConfig) -> Spec:
+    """Op list mirroring models/ssd.py + models/resnet.py (BN pre-folded
+    into conv kernels/biases by fold_resnet50)."""
+    spec: Spec = [
+        ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3),
+        PoolOp(3, 2, explicit_pad=1),
+    ]
+    stage_sizes = (3, 4, 6, 3)
+    for stage, n_blocks in enumerate(stage_sizes, start=1):
+        for block in range(1, n_blocks + 1):
+            base = f"backbone/stage{stage}_block{block}"
+            stride = 2 if (block == 1 and stage > 1) else 1
+            has_proj = block == 1  # channel change (stage1) or stride-2
+            if has_proj:
+                spec += [
+                    SaveOp("in"),
+                    ConvOp(f"{base}/proj", kernel=1, stride=stride, relu=False),
+                    SaveOp("sc"),
+                    LoadOp("in"),
+                ]
+            else:
+                spec.append(SaveOp("sc"))
+            spec += [
+                ConvOp(f"{base}/conv1", kernel=1),
+                ConvOp(f"{base}/conv2", kernel=3, stride=stride),
+                ConvOp(f"{base}/conv3", kernel=1, relu=True, add_register="sc"),
+            ]
+        if stage >= 2:  # taps C3, C4, C5
+            spec.append(TapOp(stage - 2))
+    spec += _extras_spec(cfg, 3)
+    return spec
+
+
+def fold_resnet50(
+    params: Dict[str, Any], batch_stats: Dict[str, Any], eps: float = 1e-5
+) -> Dict[str, Any]:
+    """Fold BatchNorm (inference stats) into conv kernels/biases, producing
+    the plain conv+bias tree build_resnet_ssd_spec addresses. Non-backbone
+    subtrees (extras, heads) pass through unchanged."""
+
+    def fold(kernel, bn_p, bn_s):
+        f = np.asarray(bn_p["scale"], np.float32) / np.sqrt(
+            np.asarray(bn_s["var"], np.float32) + eps
+        )
+        k = np.asarray(kernel, np.float32) * f  # broadcast over out-ch
+        b = np.asarray(bn_p["bias"], np.float32) - np.asarray(
+            bn_s["mean"], np.float32
+        ) * f
+        return {"kernel": k, "bias": b}
+
+    bb_p = params["backbone"]
+    bb_s = batch_stats["backbone"]
+    folded: Dict[str, Any] = {
+        "stem_conv": fold(bb_p["stem_conv"]["kernel"], bb_p["stem_bn"], bb_s["stem_bn"])
+    }
+    for name, block in bb_p.items():
+        if not name.startswith("stage"):
+            continue
+        fb: Dict[str, Any] = {}
+        for i in (1, 2, 3):
+            fb[f"conv{i}"] = fold(
+                block[f"conv{i}"]["kernel"], block[f"bn{i}"], bb_s[name][f"bn{i}"]
+            )
+        if "proj" in block:
+            fb["proj"] = fold(
+                block["proj"]["kernel"], block["bn_proj"], bb_s[name]["bn_proj"]
+            )
+        folded[name] = fb
+    out = dict(params)
+    out["backbone"] = folded
+    return out
+
+
 def build_ssd_spec(cfg: DetectorConfig) -> Spec:
     """Op list mirroring models/ssd.py + models/vgg.py exactly (VGG16)."""
     if cfg.model.backbone != "vgg16":
-        raise NotImplementedError("int8 engine currently covers the VGG16 SSD trunk")
+        return build_spec(cfg)
     spec: Spec = [
         ConvOp("backbone/conv1_1"), ConvOp("backbone/conv1_2"), PoolOp(),
         ConvOp("backbone/conv2_1"), ConvOp("backbone/conv2_2"), PoolOp(),
@@ -82,16 +198,7 @@ def build_ssd_spec(cfg: DetectorConfig) -> Spec:
         ConvOp("backbone/fc6", dilation=6), ConvOp("backbone/fc7", kernel=1),
         TapOp(1),
     ]
-    n_levels = len(cfg.anchors.feature_sizes)
-    n_extra = n_levels - 2
-    for i in range(n_extra):
-        if cfg.model.image_size >= 512:
-            stride, padding = 2, "SAME"
-        else:
-            stride, padding = (2, "SAME") if i < 2 else (1, "VALID")
-        spec.append(ConvOp(f"extras/conv{8+i}_1", kernel=1))
-        spec.append(ConvOp(f"extras/conv{8+i}_2", stride=stride, padding=padding))
-        spec.append(TapOp(2 + i))
+    spec += _extras_spec(cfg, 2)
     return spec
 
 
@@ -106,11 +213,14 @@ def _conv(x: Array, kernel: Array, op: ConvOp, accum_dtype) -> Array:
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
     )
+    padding = op.padding
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
     return jax.lax.conv_general_dilated(
         x,
         kernel,
         (op.stride, op.stride),
-        op.padding,
+        padding,
         rhs_dilation=(op.dilation, op.dilation),
         dimension_numbers=dn,
         preferred_element_type=accum_dtype,
@@ -121,7 +231,11 @@ def _pool(x: Array, op: PoolOp) -> Array:
     # NOTE: a strided-slice max formulation was measured SLOWER than
     # reduce_window on int8 TPU layouts (spatial slicing forces relayouts
     # of T(8,128)(4,1) tiles) — keep reduce_window.
-    pad = "SAME" if op.pad_same else "VALID"
+    if op.explicit_pad is not None:
+        p = op.explicit_pad
+        pad = [(0, 0), (p, p), (p, p), (0, 0)]
+    else:
+        pad = "SAME" if op.pad_same else "VALID"
     if jnp.issubdtype(x.dtype, jnp.floating):
         init = jnp.array(-jnp.inf, x.dtype)
     else:
@@ -153,16 +267,23 @@ def run_float(
     """
     absmax: Dict[str, Array] = {"__input__": jnp.max(jnp.abs(images))}
     x = images.astype(compute_dtype)
+    regs: Dict[str, Array] = {}
     taps: List[Array] = [None] * _num_taps(spec)  # type: ignore[list-item]
     for op in spec:
         if isinstance(op, ConvOp):
             p = _get_path(params, op.path)
             y = _conv(x, p["kernel"].astype(compute_dtype), op, jnp.float32)
             y = y + p["bias"].astype(jnp.float32)
+            if op.add_register is not None:
+                y = y + regs[op.add_register].astype(jnp.float32)
             if op.relu:
                 y = jnp.maximum(y, 0.0)
             x = y.astype(compute_dtype)
             absmax[op.path] = jnp.max(jnp.abs(x))
+        elif isinstance(op, SaveOp):
+            regs[op.name] = x
+        elif isinstance(op, LoadOp):
+            x = regs[op.name]
         elif isinstance(op, PoolOp):
             x = _pool(x, op)
         elif isinstance(op, PadToEvenOp):
@@ -199,22 +320,24 @@ class QuantParams:
 
 
 def calibrate_scales(
-    params: Dict[str, Any], spec: Spec, batches: Sequence[Array]
+    params: Dict[str, Any], spec: Spec, batches: Sequence[Array],
+    use_l2norm: bool = True,
 ) -> Dict[str, float]:
     """Per-tensor activation scales (absmax/127) over calibration batches.
 
-    Also records "__l2norm__" (the L2Norm'd tap-0 feeding head0) so heads
-    can run int8.
+    For VGG also records "__l2norm__" (the L2Norm'd tap-0 feeding head0)
+    so heads can run int8.
     """
     agg: Dict[str, float] = {}
 
     def probe(p, im):
         taps, absmax = run_float(p, spec, im)
-        t0 = taps[0]
-        sq = jnp.sum(jnp.square(t0), axis=-1, keepdims=True, dtype=jnp.float32)
-        ln = t0 * jax.lax.rsqrt(sq + 1e-12) * p["l2norm"]["scale"]
         absmax = dict(absmax)
-        absmax["__l2norm__"] = jnp.max(jnp.abs(ln))
+        if use_l2norm:
+            t0 = taps[0]
+            sq = jnp.sum(jnp.square(t0), axis=-1, keepdims=True, dtype=jnp.float32)
+            ln = t0 * jax.lax.rsqrt(sq + 1e-12) * p["l2norm"]["scale"]
+            absmax["__l2norm__"] = jnp.max(jnp.abs(ln))
         return absmax
 
     run = jax.jit(probe)
@@ -275,13 +398,18 @@ def run_int8(
     x = jnp.clip(jnp.round(images / in_scale), -127, 127).astype(jnp.int8)
     cur_scale = in_scale
 
+    regs: Dict[str, Tuple[Array, float]] = {}
     taps: List[Any] = [None] * _num_taps(spec)
     for op in spec:
         if isinstance(op, ConvOp):
             acc = _conv(x, jnp.asarray(qp.w_int8[op.path]), op, jnp.int32)
-            # Fused epilogue: dequant (per-channel) + bias + relu + requant.
+            # Fused epilogue: dequant (per-channel) + bias (+ residual add)
+            # + relu + requant.
             deq = cur_scale * jnp.asarray(qp.w_scale[op.path])  # (out_ch,)
             y = acc.astype(jnp.float32) * deq + jnp.asarray(qp.bias[op.path])
+            if op.add_register is not None:
+                rq, rs = regs[op.add_register]
+                y = y + rq.astype(jnp.float32) * rs
             if op.relu:
                 y = jnp.maximum(y, 0.0)
             # NOTE: pooling in f32 here (pool commutes with requant) was
@@ -291,6 +419,10 @@ def run_int8(
             out_scale = qp.act_scale[op.path]
             x = jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
             cur_scale = out_scale
+        elif isinstance(op, SaveOp):
+            regs[op.name] = (x, cur_scale)
+        elif isinstance(op, LoadOp):
+            x, cur_scale = regs[op.name]
         elif isinstance(op, PoolOp):
             x = _pool(x, op)  # int8 max pool is exact
         elif isinstance(op, PadToEvenOp):
@@ -311,22 +443,23 @@ def apply_heads_int8(
 ) -> Tuple[Array, Array]:
     """Int8 prediction heads over int8 taps.
 
-    L2Norm on tap0 is scale-invariant in its input (x/||x|| cancels any
-    per-tensor scale), so it runs directly on the int8 codes and requants
-    with the calibrated "__l2norm__" scale. Head convs are int8 with f32
-    dequant outputs (no further requant — these are the final logits).
+    L2Norm on tap0 (VGG only) is scale-invariant in its input (x/||x||
+    cancels any per-tensor scale), so it runs directly on the int8 codes
+    and requants with the calibrated "__l2norm__" scale. Head convs are
+    int8 with f32 dequant outputs (no further requant — final logits).
     """
     taps = list(taps_q)
-    q0, _ = taps[0]
-    qf = q0.astype(jnp.float32)
-    sq = jnp.sum(jnp.square(qf), axis=-1, keepdims=True)
-    gamma = qp.float_params["l2norm"]["scale"].astype(jnp.float32)
-    ln = qf * jax.lax.rsqrt(sq + 1e-12) * gamma
-    s0 = qp.act_scale["__l2norm__"]
-    taps[0] = (
-        jnp.clip(jnp.round(ln / s0), -127, 127).astype(jnp.int8),
-        s0,
-    )
+    if "__l2norm__" in qp.act_scale:
+        q0, _ = taps[0]
+        qf = q0.astype(jnp.float32)
+        sq = jnp.sum(jnp.square(qf), axis=-1, keepdims=True)
+        gamma = jnp.asarray(qp.float_params["l2norm"]["scale"], jnp.float32)
+        ln = qf * jax.lax.rsqrt(sq + 1e-12) * gamma
+        s0 = qp.act_scale["__l2norm__"]
+        taps[0] = (
+            jnp.clip(jnp.round(ln / s0), -127, 127).astype(jnp.int8),
+            s0,
+        )
 
     cls_out, box_out = [], []
     for level, ((tap, s_tap), a) in enumerate(
@@ -366,13 +499,14 @@ def apply_heads(
     cfg: DetectorConfig,
     dtype=jnp.bfloat16,
 ) -> Tuple[Array, Array]:
-    """L2Norm on tap0 + per-level cls/box heads; mirrors models/ssd.py."""
+    """[L2Norm on tap0 (VGG)] + per-level cls/box heads; mirrors ssd.py."""
     taps = list(taps)
-    # L2Norm (float): x * rsqrt(sum x^2) * scale.
-    scale = params["l2norm"]["scale"].astype(dtype)
-    t0 = taps[0].astype(dtype)
-    sq = jnp.sum(jnp.square(t0), axis=-1, keepdims=True, dtype=jnp.float32)
-    taps[0] = t0 * jax.lax.rsqrt(sq + 1e-12).astype(dtype) * scale
+    if cfg.model.backbone == "vgg16":
+        # L2Norm (float): x * rsqrt(sum x^2) * scale.
+        scale = jnp.asarray(params["l2norm"]["scale"], dtype)
+        t0 = taps[0].astype(dtype)
+        sq = jnp.sum(jnp.square(t0), axis=-1, keepdims=True, dtype=jnp.float32)
+        taps[0] = t0 * jax.lax.rsqrt(sq + 1e-12).astype(dtype) * scale
 
     cls_out, box_out = [], []
     for level, (tap, a) in enumerate(zip(taps, cfg.anchors.anchors_per_level)):
@@ -394,11 +528,18 @@ def quantize_ssd(
     cfg: DetectorConfig,
     params: Dict[str, Any],
     calibration_batches: Sequence[Array],
+    batch_stats: Optional[Dict[str, Any]] = None,
 ) -> Tuple[QuantParams, Spec]:
-    """One-call PTQ: calibrate + quantize. `calibration_batches` are
-    normalized float image batches."""
-    spec = build_ssd_spec(cfg)
-    scales = calibrate_scales(params, spec, calibration_batches)
+    """One-call PTQ: [BN-fold] + calibrate + quantize. `calibration_batches`
+    are normalized float image batches; `batch_stats` is required for
+    BatchNorm backbones (ResNet)."""
+    spec = build_spec(cfg)
+    use_l2norm = cfg.model.backbone == "vgg16"
+    if cfg.model.backbone == "resnet50":
+        if batch_stats is None:
+            raise ValueError("resnet50 quantization needs batch_stats to fold BN")
+        params = fold_resnet50(params, batch_stats)
+    scales = calibrate_scales(params, spec, calibration_batches, use_l2norm)
     return quantize_params(params, spec, scales), spec
 
 

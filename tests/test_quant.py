@@ -58,3 +58,62 @@ def test_calibration_scales_positive(setup):
     scales = engine.calibrate_scales(params, spec, [x])
     assert all(v > 0 for v in scales.values())
     assert "__input__" in scales
+
+
+# --------------------------------------------------------------------------
+# ResNet trunk: BN folding + int8
+# --------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+from object_detector_tpu.core.config import (
+    AnchorConfig,
+    DetectorConfig,
+    ModelConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def resnet_setup():
+    size = 256
+    cfg = DetectorConfig(
+        name="ssd256_resnet_test",
+        model=ModelConfig(family="ssd", backbone="resnet50", image_size=size,
+                          num_classes=4, compute_dtype="float32"),
+        anchors=AnchorConfig(
+            feature_sizes=(32, 16, 8, 4, 2),
+            sizes=((20., 40.), (40., 80.), (80., 130.), (130., 180.), (180., 230.)),
+            aspect_ratios=((2.0,),) * 5,
+        ),
+    )
+    model = SSDModel(cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-2.0, 2.0, (2, size, size, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    return cfg, model, variables, x
+
+
+def test_resnet_folded_float_matches_flax(resnet_setup):
+    cfg, model, variables, x = resnet_setup
+    want_cls, want_box = model.apply(variables, x, train=False)
+    folded = engine.fold_resnet50(variables["params"], variables["batch_stats"])
+    spec = engine.build_spec(cfg)
+    got_cls, got_box = engine.float_forward(folded, spec, cfg, x)
+    np.testing.assert_allclose(np.asarray(got_cls), np.asarray(want_cls),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_box), np.asarray(want_box),
+                               atol=2e-3)
+
+
+def test_resnet_int8_close_to_float(resnet_setup):
+    cfg, _, variables, x = resnet_setup
+    qp, spec = engine.quantize_ssd(
+        cfg, variables["params"], [x], batch_stats=variables["batch_stats"]
+    )
+    folded = engine.fold_resnet50(variables["params"], variables["batch_stats"])
+    f_cls, f_box = engine.float_forward(folded, spec, cfg, x)
+    q_cls, q_box = engine.int8_forward(qp, spec, cfg, x)
+    cls_err = np.abs(np.asarray(q_cls) - np.asarray(f_cls))
+    box_err = np.abs(np.asarray(q_box) - np.asarray(f_box))
+    assert np.percentile(cls_err, 99) < 0.25, np.percentile(cls_err, 99)
+    assert np.percentile(box_err, 99) < 0.25, np.percentile(box_err, 99)
