@@ -135,7 +135,7 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
 
     dataset = _load_dataset(cfg, args.split or cfg.data.val_split)
     model, variables = _restore_variables(cfg, args.checkpoint)
-    result = evaluate_dataset(cfg, model, variables, dataset)
+    result = evaluate_dataset(cfg, model, variables, dataset, int8=args.int8)
     print(json.dumps(result))
     return 0
 
@@ -170,6 +170,8 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--split", default=None)
+    sp.add_argument("--int8", action="store_true",
+                    help="serve through the int8 PTQ engine")
     sp.set_defaults(fn=cmd_evaluate)
     return p
 

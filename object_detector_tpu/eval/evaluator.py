@@ -30,6 +30,39 @@ def make_predict_fn(cfg: DetectorConfig, model: Any, anchors_center: np.ndarray,
     return predict
 
 
+def make_int8_predict_fn(
+    cfg: DetectorConfig,
+    variables: Any,
+    anchors_center: np.ndarray,
+    calibration_images_u8: np.ndarray,
+    use_pallas: Optional[bool] = None,
+):
+    """Quantize once (PTQ) and return a jitted uint8-images -> Detections fn.
+
+    The production serving path (quant/engine.py): int8 trunk + int8 heads.
+    `calibration_images_u8` is a small representative uint8 batch.
+    """
+    from object_detector_tpu.quant import engine as qengine
+
+    anchors_const = jnp.asarray(anchors_center)
+    calib = aug_ops.normalize(
+        jnp.asarray(calibration_images_u8).astype(jnp.float32) / 255.0
+    )
+    qp, spec = qengine.quantize_ssd(
+        cfg, variables["params"], [calib],
+        batch_stats=variables.get("batch_stats"),
+    )
+    qp = jax.device_put(qp)
+
+    @jax.jit
+    def predict(images_u8):
+        images = aug_ops.normalize(images_u8.astype(jnp.float32) / 255.0)
+        cls_logits, box_offsets = qengine.int8_forward(qp, spec, cfg, images)
+        return postprocess(cls_logits, box_offsets, anchors_const, cfg, use_pallas)
+
+    return predict
+
+
 def evaluate_dataset(
     cfg: DetectorConfig,
     model: Any,
@@ -37,6 +70,7 @@ def evaluate_dataset(
     dataset: Dataset,
     cache: Optional[DecodedCache] = None,
     use_pallas: Optional[bool] = None,
+    int8: bool = False,
 ) -> Dict[str, float]:
     """Run the val sweep and return the mAP dict for cfg.eval.map_style."""
     if cache is None:
@@ -44,7 +78,14 @@ def evaluate_dataset(
             dataset, cfg.model.image_size, cfg.data.max_boxes, cfg.data.num_workers
         )
     anchors = _anchors_for(cfg)
-    predict = make_predict_fn(cfg, model, anchors, use_pallas)
+    if int8:
+        n_calib = min(len(cache), cfg.eval.batch_size)
+        int8_predict = make_int8_predict_fn(
+            cfg, variables, anchors, cache.images[:n_calib], use_pallas
+        )
+        predict = lambda _v, imgs: int8_predict(imgs)  # noqa: E731
+    else:
+        predict = make_predict_fn(cfg, model, anchors, use_pallas)
     evaluator = MeanAPEvaluator(dataset.num_classes, cfg.eval.map_style)
 
     bs = cfg.eval.batch_size
