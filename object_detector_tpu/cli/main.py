@@ -114,7 +114,7 @@ def cmd_predict(args: argparse.Namespace) -> int:
         from object_detector_tpu.data.voc import VOC_CLASSES
 
         class_names = VOC_CLASSES
-    predictor = Predictor(cfg, variables, class_names)
+    predictor = Predictor(cfg, variables, class_names, int8=args.int8)
     dets = predictor.predict_file(args.image, args.score_threshold, args.output)
     for d in dets:
         print(
@@ -164,6 +164,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--output", default=None, help="draw detections here")
     sp.add_argument("--score-threshold", type=float, default=0.3)
+    sp.add_argument("--int8", action="store_true",
+                    help="serve through the int8 PTQ engine")
     sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser("evaluate", help="compute mAP on a val split")

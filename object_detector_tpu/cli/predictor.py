@@ -34,6 +34,8 @@ class Predictor:
         variables: Any,
         class_names: Optional[Sequence[str]] = None,
         use_pallas: Optional[bool] = None,
+        int8: bool = False,
+        calibration_images_u8: Optional[np.ndarray] = None,
     ):
         self.cfg = cfg
         self.variables = variables
@@ -42,7 +44,20 @@ class Predictor:
         ]
         self.model = build_model(cfg)
         anchors = anchors_for_model(cfg.model.family, cfg.anchors, cfg.model.image_size)
-        self._predict = make_predict_fn(cfg, self.model, anchors, use_pallas)
+        if int8:
+            from object_detector_tpu.eval.evaluator import make_int8_predict_fn
+
+            if calibration_images_u8 is None:
+                s = cfg.model.image_size
+                calibration_images_u8 = np.random.default_rng(0).integers(
+                    0, 255, (8, s, s, 3), dtype=np.uint8
+                )
+            int8_fn = make_int8_predict_fn(
+                cfg, variables, anchors, calibration_images_u8, use_pallas
+            )
+            self._predict = lambda _v, imgs: int8_fn(imgs)
+        else:
+            self._predict = make_predict_fn(cfg, self.model, anchors, use_pallas)
 
     def predict_array(
         self, image_u8: np.ndarray, score_threshold: float = 0.3
