@@ -404,7 +404,9 @@ def run_int8(
         if isinstance(op, ConvOp):
             acc = _conv(x, jnp.asarray(qp.w_int8[op.path]), op, jnp.int32)
             # Fused epilogue: dequant (per-channel) + bias (+ residual add)
-            # + relu + requant.
+            # + relu + requant. Folding 1/out_scale into the per-channel
+            # multiplier keeps it one multiply; f32 epilogue (bf16 loses
+            # requant precision near the clip boundary).
             deq = cur_scale * jnp.asarray(qp.w_scale[op.path])  # (out_ch,)
             y = acc.astype(jnp.float32) * deq + jnp.asarray(qp.bias[op.path])
             if op.add_register is not None:

@@ -52,6 +52,32 @@ def test_pallas_nms_respects_max_per_class(rng):
     assert int(np.asarray(det.valid).sum()) == 16
 
 
+def test_postprocess_pallas_matches_jnp_path(rng):
+    """End-to-end postprocess(): pallas (interpret) vs jnp NMS paths."""
+    import jax
+
+    from object_detector_tpu.anchors.priors import ssd_anchors
+    from object_detector_tpu.core.config import tiny_test_config
+    from object_detector_tpu.ops.postprocess import postprocess
+
+    cfg = tiny_test_config()
+    anchors = jnp.asarray(ssd_anchors(cfg.anchors, cfg.model.image_size))
+    A, C = anchors.shape[0], cfg.model.num_classes
+    # Keep every anchor as a candidate (M >= A) so both paths see identical
+    # candidate sets and parity is exact, not statistical.
+    cfg = cfg.override({"eval.pre_nms_top_k": A})
+    cls = jnp.asarray(rng.normal(-4.0, 1.5, (2, A, C)).astype(np.float32))
+    box = jnp.asarray(rng.normal(0, 0.5, (2, A, 4)).astype(np.float32))
+    det_p = postprocess(cls, box, anchors, cfg, use_pallas=True)
+    det_j = postprocess(cls, box, anchors, cfg, use_pallas=False)
+    for i in range(2):
+        assert _as_set(
+            type(det_p)(det_p.boxes[i], det_p.scores[i], det_p.classes[i], det_p.valid[i])
+        ) == _as_set(
+            type(det_j)(det_j.boxes[i], det_j.scores[i], det_j.classes[i], det_j.valid[i])
+        )
+
+
 def test_pallas_nms_empty_scene():
     boxes = jnp.zeros((64, 4))
     scores = jnp.zeros((64, 3))
