@@ -237,3 +237,91 @@ def pallas_per_class_nms(
         boxes=det.boxes[0], scores=det.scores[0],
         classes=det.classes[0], valid=det.valid[0],
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "score_threshold", "iou_threshold", "pre_nms_top_k", "max_detections",
+        "max_per_class", "center_variance", "size_variance", "interpret",
+    ),
+)
+def pallas_decode_nms(
+    cls_logits: Array,  # (B, A, C) raw sigmoid logits
+    box_offsets: Array,  # (B, A, 4) SSD-encoded offsets
+    anchors_center: Array,  # (A, 4)
+    *,
+    score_threshold: float = 0.01,
+    iou_threshold: float = 0.45,
+    pre_nms_top_k: int = 256,
+    max_detections: int = 200,
+    max_per_class: int = 100,
+    center_variance: float = 0.1,
+    size_variance: float = 0.2,
+    interpret: bool | None = None,
+) -> Detections:
+    """Fused candidate-sparse postprocess: the anchor pre-filter runs on
+    LOGITS (sigmoid is monotone, so top-M by max-class logit == top-M by
+    max-class score), and sigmoid + box decode only touch the M gathered
+    candidates instead of all A anchors — at SSD-300 bs=64 that removes
+    full-size (B, 8732, C) sigmoid/transpose and (B, 8732, 4) decode
+    passes. Detection results are identical to decode-then-NMS."""
+    from object_detector_tpu.ops import boxes as box_ops
+
+    batch, num_anchors, num_classes = cls_logits.shape
+    m_eff = min(2 * pre_nms_top_k, num_anchors)
+    m = _round_up(m_eff, _LANE)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if m_eff >= num_anchors:
+        cand_logits = cls_logits
+        cand_offsets = box_offsets
+        cand_anchors = jnp.broadcast_to(
+            anchors_center[None], (batch, num_anchors, 4)
+        )
+    else:
+        agnostic = jnp.max(cls_logits, axis=-1)  # (B, A)
+        if interpret:
+            _, aidx = jax.lax.top_k(agnostic, m_eff)
+        else:
+            _, aidx = jax.lax.approx_max_k(agnostic, m_eff, recall_target=0.95)
+        cand_logits = jnp.take_along_axis(cls_logits, aidx[..., None], axis=1)
+        cand_offsets = jnp.take_along_axis(box_offsets, aidx[..., None], axis=1)
+        cand_anchors = jnp.take(anchors_center, aidx, axis=0)  # (B, M, 4)
+
+    cand_scores = jax.nn.sigmoid(cand_logits)
+    cand_boxes = box_ops.decode(
+        cand_offsets, cand_anchors, center_variance, size_variance, clip=True
+    )
+
+    pad = m - cand_scores.shape[1]
+    if pad:
+        cand_scores = jnp.pad(cand_scores, ((0, 0), (0, pad), (0, 0)))
+        cand_boxes = jnp.pad(cand_boxes, ((0, 0), (0, pad), (0, 0)))
+
+    rows = batch * num_classes
+    row_scores = jnp.transpose(cand_scores, (0, 2, 1)).reshape(rows, m)
+    coords = jnp.broadcast_to(
+        jnp.transpose(cand_boxes, (2, 0, 1))[:, :, None, :],
+        (4, batch, num_classes, m),
+    ).reshape(4, rows, m)
+
+    kept_scores = _nms_rows(
+        coords,
+        row_scores.astype(jnp.float32),
+        max_out=min(max_per_class, max_detections, m),
+        iou_threshold=iou_threshold,
+        score_threshold=score_threshold,
+        interpret=interpret,
+    ).reshape(batch, num_classes, m)
+
+    flat_scores = kept_scores.reshape(batch, num_classes * m)
+    merged_scores, merged_idx = jax.lax.top_k(flat_scores, max_detections)
+    anchor_idx = merged_idx % m
+    out_boxes = jnp.take_along_axis(cand_boxes, anchor_idx[..., None], axis=1)
+    out_classes = (merged_idx // m).astype(jnp.int32)
+    valid = merged_scores > 0.0
+    return Detections(
+        boxes=out_boxes, scores=merged_scores, classes=out_classes, valid=valid
+    )

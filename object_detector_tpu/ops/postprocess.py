@@ -37,6 +37,26 @@ def postprocess(
     use_pallas: bool | None = None,
 ) -> nms_ops.Detections:
     """Batched decode -> per-class NMS. Returns batch-stacked Detections."""
+    if use_pallas is None:
+        use_pallas = cfg.eval.use_pallas_nms
+    if use_pallas:
+        # Fused candidate-sparse path: prefilter on raw logits, then
+        # sigmoid + decode only the gathered candidates; batch folded into
+        # kernel rows — no vmap.
+        from object_detector_tpu.kernels.nms_pallas import pallas_decode_nms
+
+        return pallas_decode_nms(
+            cls_logits.astype(jnp.float32),
+            box_offsets.astype(jnp.float32),
+            jnp.asarray(anchors_center),
+            score_threshold=cfg.eval.score_threshold,
+            iou_threshold=cfg.eval.nms_iou_threshold,
+            pre_nms_top_k=cfg.eval.pre_nms_top_k,
+            max_detections=cfg.eval.max_detections,
+            center_variance=cfg.anchors.center_variance,
+            size_variance=cfg.anchors.size_variance,
+        )
+
     scores = scores_from_logits(cls_logits.astype(jnp.float32), cfg.model.family)
     decoded = box_ops.decode(
         box_offsets.astype(jnp.float32),
@@ -45,23 +65,6 @@ def postprocess(
         cfg.anchors.size_variance,
         clip=True,
     )  # (B, A, 4)
-
-    if use_pallas is None:
-        use_pallas = cfg.eval.use_pallas_nms
-    if use_pallas:
-        # Batched kernel: the batch dim folds into kernel rows — no vmap.
-        from object_detector_tpu.kernels.nms_pallas import (
-            pallas_per_class_nms_batched,
-        )
-
-        return pallas_per_class_nms_batched(
-            decoded,
-            scores,
-            score_threshold=cfg.eval.score_threshold,
-            iou_threshold=cfg.eval.nms_iou_threshold,
-            pre_nms_top_k=cfg.eval.pre_nms_top_k,
-            max_detections=cfg.eval.max_detections,
-        )
     nms_fn = partial(
         nms_ops.per_class_nms,
         score_threshold=cfg.eval.score_threshold,
