@@ -112,6 +112,11 @@ def build_spec(cfg: DetectorConfig) -> Spec:
 def build_resnet_ssd_spec(cfg: DetectorConfig) -> Spec:
     """Op list mirroring models/ssd.py + models/resnet.py (BN pre-folded
     into conv kernels/biases by fold_resnet50)."""
+    return build_resnet_trunk_spec() + _extras_spec(cfg, 3)
+
+
+def build_resnet_trunk_spec() -> Spec:
+    """ResNet-50 C3/C4/C5 trunk only (RetinaNet: FPN+heads stay float)."""
     spec: Spec = [
         ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3),
         PoolOp(3, 2, explicit_pad=1),
@@ -121,8 +126,7 @@ def build_resnet_ssd_spec(cfg: DetectorConfig) -> Spec:
         for block in range(1, n_blocks + 1):
             base = f"backbone/stage{stage}_block{block}"
             stride = 2 if (block == 1 and stage > 1) else 1
-            has_proj = block == 1  # channel change (stage1) or stride-2
-            if has_proj:
+            if block == 1:
                 spec += [
                     SaveOp("in"),
                     ConvOp(f"{base}/proj", kernel=1, stride=stride, relu=False),
@@ -136,9 +140,8 @@ def build_resnet_ssd_spec(cfg: DetectorConfig) -> Spec:
                 ConvOp(f"{base}/conv2", kernel=3, stride=stride),
                 ConvOp(f"{base}/conv3", kernel=1, relu=True, add_register="sc"),
             ]
-        if stage >= 2:  # taps C3, C4, C5
+        if stage >= 2:
             spec.append(TapOp(stage - 2))
-    spec += _extras_spec(cfg, 3)
     return spec
 
 
@@ -357,7 +360,8 @@ def _quantize_kernel(p: Dict[str, Any]) -> Tuple[np.ndarray, np.ndarray, np.ndar
 
 
 def quantize_params(
-    params: Dict[str, Any], spec: Spec, act_scale: Dict[str, float]
+    params: Dict[str, Any], spec: Spec, act_scale: Dict[str, float],
+    quantize_heads: bool = True,
 ) -> QuantParams:
     w_int8: Dict[str, np.ndarray] = {}
     w_scale: Dict[str, np.ndarray] = {}
@@ -367,12 +371,13 @@ def quantize_params(
             continue
         w_q, s, b = _quantize_kernel(_get_path(params, op.path))
         w_int8[op.path], w_scale[op.path], bias[op.path] = w_q, s, b
-    # Prediction heads (they consume int8 taps directly).
-    for level in range(_num_taps(spec)):
-        for kind in ("cls", "box"):
-            path = f"head{level}/{kind}"
-            w_q, s, b = _quantize_kernel(_get_path(params, path))
-            w_int8[path], w_scale[path], bias[path] = w_q, s, b
+    if quantize_heads:
+        # SSD prediction heads (they consume int8 taps directly).
+        for level in range(_num_taps(spec)):
+            for kind in ("cls", "box"):
+                path = f"head{level}/{kind}"
+                w_q, s, b = _quantize_kernel(_get_path(params, path))
+                w_int8[path], w_scale[path], bias[path] = w_q, s, b
     return QuantParams(
         w_int8=w_int8, w_scale=w_scale, bias=bias,
         act_scale=dict(act_scale), float_params=params,
@@ -567,3 +572,57 @@ def float_forward(
     """Reference float path through the same spec (parity oracle)."""
     taps, _ = run_float(params, spec, images, compute_dtype)
     return apply_heads(params, taps, cfg, dtype=compute_dtype)
+
+
+# --------------------------------------------------------------------------
+# RetinaNet: int8 ResNet trunk + float FPN/heads
+# --------------------------------------------------------------------------
+
+def quantize_retinanet(
+    cfg: DetectorConfig,
+    variables: Dict[str, Any],
+    calibration_batches: Sequence[Array],
+) -> Tuple[QuantParams, Spec]:
+    """PTQ for RetinaNet: BN-fold + quantize the ResNet C3/C4/C5 trunk.
+
+    FPN lateral/topdown convs and the shared heads stay in the float
+    compute dtype (small FLOP fraction; the pyramid's adds/upsamples are
+    quantization-hostile)."""
+    params = variables["params"]
+    spec = build_resnet_trunk_spec()
+    folded = fold_resnet50(params, variables["batch_stats"])
+    scales = calibrate_scales(folded, spec, calibration_batches, use_l2norm=False)
+    return quantize_params(folded, spec, scales, quantize_heads=False), spec
+
+
+def retinanet_int8_forward(
+    qp: QuantParams, spec: Spec, cfg: DetectorConfig, images: Array,
+    dtype=jnp.bfloat16,
+) -> Tuple[Array, Array]:
+    """Normalized float images -> (cls_logits, box_offsets)."""
+    from object_detector_tpu.models.retinanet import FPN, RetinaNetHead
+
+    taps = run_int8(qp, spec, images, dequantize_taps=True)
+    p = qp.float_params
+    pyramid = FPN(channels=cfg.model.fpn_channels, compute_dtype=dtype).apply(
+        {"params": p["fpn"]}, [t.astype(dtype) for t in taps]
+    )
+    cls_head = RetinaNetHead(
+        num_anchors=9, num_outputs=cfg.model.num_classes,
+        depth=cfg.model.head_depth, channels=cfg.model.fpn_channels,
+        use_class_bias=True, compute_dtype=dtype,
+    )
+    box_head = RetinaNetHead(
+        num_anchors=9, num_outputs=4,
+        depth=cfg.model.head_depth, channels=cfg.model.fpn_channels,
+        compute_dtype=dtype,
+    )
+    cls = [
+        cls_head.apply({"params": p["cls_head"]}, lv).astype(jnp.float32)
+        for lv in pyramid
+    ]
+    box = [
+        box_head.apply({"params": p["box_head"]}, lv).astype(jnp.float32)
+        for lv in pyramid
+    ]
+    return jnp.concatenate(cls, axis=1), jnp.concatenate(box, axis=1)

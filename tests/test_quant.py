@@ -105,6 +105,34 @@ def test_resnet_folded_float_matches_flax(resnet_setup):
                                atol=2e-3)
 
 
+def test_retinanet_int8_close_to_float():
+    from object_detector_tpu.core.config import retinanet_anchor_config
+    from object_detector_tpu.models.retinanet import RetinaNetModel
+
+    size = 128
+    cfg = DetectorConfig(
+        name="retinanet_quant_test",
+        model=ModelConfig(family="retinanet", backbone="resnet50",
+                          image_size=size, num_classes=3, fpn_channels=32,
+                          head_depth=1, compute_dtype="float32"),
+        anchors=retinanet_anchor_config(size),
+    )
+    model = RetinaNetModel(cfg)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(-2.0, 2.0, (2, size, size, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+
+    f_cls, f_box = model.apply(variables, x, train=False)
+    qp, spec = engine.quantize_retinanet(cfg, variables, [x])
+    q_cls, q_box = engine.retinanet_int8_forward(qp, spec, cfg, x,
+                                                 dtype=jnp.float32)
+    assert q_cls.shape == f_cls.shape and q_box.shape == f_box.shape
+    cls_err = np.abs(np.asarray(q_cls) - np.asarray(f_cls))
+    box_err = np.abs(np.asarray(q_box) - np.asarray(f_box))
+    assert np.percentile(cls_err, 99) < 0.3, np.percentile(cls_err, 99)
+    assert np.percentile(box_err, 99) < 0.3, np.percentile(box_err, 99)
+
+
 def test_resnet_int8_close_to_float(resnet_setup):
     cfg, _, variables, x = resnet_setup
     qp, spec = engine.quantize_ssd(
