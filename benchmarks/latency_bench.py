@@ -11,7 +11,7 @@ import jax
 
 from object_detector_tpu.core.cache import enable_compilation_cache
 
-enable_compilation_cache()
+enable_compilation_cache(scoped_vmem_kib=None)  # latency path: default VMEM
 import jax.numpy as jnp
 import numpy as np
 

@@ -12,14 +12,20 @@ import os
 _DEFAULT_DIR = os.path.expanduser("~/.cache/odt_jax_cache")
 
 
-def enable_compilation_cache(directory: str | None = None) -> None:
-    # Measured on v5e-1: 64 MiB scoped VMEM beats the default (~+3.5% on
-    # the SSD-300 int8 pipeline: 21.3 -> 20.6 ms) and 128 MiB regresses.
+def enable_compilation_cache(
+    directory: str | None = None, scoped_vmem_kib: int | None = 65536
+) -> None:
+    # Measured on v5e-1: 64 MiB scoped VMEM is +3.5% on the bs=64 SSD-300
+    # int8 pipeline (21.3 -> 20.6 ms) but a bs=1 latency REGRESSION
+    # (1.22 -> 2.98 ms); 128 MiB regresses everywhere. Throughput paths
+    # keep the 64 MiB default; latency-sensitive callers pass None.
     # Must be set before TPU backend init, which is why it lives in this
     # bootstrap that every bench/CLI calls first.
-    os.environ.setdefault(
-        "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=65536"
-    )
+    if scoped_vmem_kib is not None:
+        os.environ.setdefault(
+            "LIBTPU_INIT_ARGS",
+            f"--xla_tpu_scoped_vmem_limit_kib={scoped_vmem_kib}",
+        )
 
     import jax
 
