@@ -31,14 +31,33 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, state: TrainState, rng_key: jax.Array, data_step: int) -> bool:
-        step = int(jax.device_get(state.step))
+    def save(
+        self,
+        state: TrainState,
+        rng_key: jax.Array,
+        data_step: int,
+        step: Optional[int] = None,
+        force: bool = False,
+    ) -> bool:
+        """Save if the retention policy wants this step.
+
+        Pass `step` from the host-side loop counter: fetching the whole
+        state (or even state.step) from device BEFORE the interval check
+        costs a full tunnel round trip per training step.
+        """
+        if step is None:
+            step = int(jax.device_get(state.step))
+        if self._mgr.latest_step() == step:
+            return False  # already on disk (e.g. final force-save after an
+            # interval save at the same step)
+        if not force and not self._mgr.should_save(step):
+            return False
         payload = {
             "state": jax.device_get(state),
             "rng_key": jax.device_get(jax.random.key_data(rng_key)),
             "data_step": np.asarray(data_step),
         }
-        return self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        return self._mgr.save(step, args=ocp.args.StandardSave(payload), force=force)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -100,7 +100,9 @@ def train(
             state, metrics = step_fn(state, batch, rng)
             data_step += 1
             if ckpt_mgr is not None:
-                ckpt_mgr.save(state, rng, data_step)
+                # step passed from the host counter — no device fetch on
+                # the hot path (the retention check is host-side).
+                ckpt_mgr.save(state, rng, data_step, step=step_i + 1)
             if (step_i + 1) % cfg.train.log_every == 0 or step_i + 1 == num_steps:
                 metrics = jax.device_get(metrics)
                 now = time.perf_counter()
@@ -118,7 +120,7 @@ def train(
         if profile_dir:
             jax.profiler.stop_trace()
         if ckpt_mgr is not None:
-            ckpt_mgr.save(state, rng, data_step)
+            ckpt_mgr.save(state, rng, data_step, force=True)
             ckpt_mgr.close()
         metrics_log.close()
     return state
