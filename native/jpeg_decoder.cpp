@@ -122,8 +122,11 @@ int odt_decode_single(const char* path, int size, uint8_t* out) {
   return decode_one(path, size, out);
 }
 
-int odt_decode_batch(const char** paths, int n, int size, uint8_t* out,
-                     int n_threads) {
+// status: optional per-file result array (0 = ok, nonzero = decode_one
+// error code); failed slots are zero-filled in `out` so callers can
+// re-decode them through a fallback path. Returns the failure count.
+int odt_decode_batch_status(const char** paths, int n, int size, uint8_t* out,
+                            uint8_t* status, int n_threads) {
   if (n_threads < 1) n_threads = 1;
   std::atomic<int> next(0);
   std::atomic<int> failures(0);
@@ -132,7 +135,9 @@ int odt_decode_batch(const char** paths, int n, int size, uint8_t* out,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) break;
-      if (decode_one(paths[i], size, out + stride * i) != 0) {
+      const int rc = decode_one(paths[i], size, out + stride * i);
+      if (status) status[i] = static_cast<uint8_t>(rc);
+      if (rc != 0) {
         failures.fetch_add(1);
         std::memset(out + stride * i, 0, stride);
       }
@@ -144,6 +149,11 @@ int odt_decode_batch(const char** paths, int n, int size, uint8_t* out,
   for (int t = 0; t < tcount; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return failures.load();
+}
+
+int odt_decode_batch(const char** paths, int n, int size, uint8_t* out,
+                     int n_threads) {
+  return odt_decode_batch_status(paths, n, size, out, nullptr, n_threads);
 }
 
 }  // extern "C"

@@ -20,8 +20,11 @@ def load_coco(
     root: str,
     split: str = "val2017",
     annotation_file: str | None = None,
-    include_crowd: bool = False,
+    include_crowd: bool = True,
 ) -> Dataset:
+    """Crowd annotations are kept by default: pad_annotations filters them
+    from training targets, and the COCO evaluator needs them as ignore
+    regions (pycocotools protocol)."""
     ann_path = annotation_file or os.path.join(
         root, "annotations", f"instances_{split}.json"
     )
@@ -41,7 +44,7 @@ def load_coco(
     records: List[ImageRecord] = []
     for img in blob["images"]:
         w, h = float(img["width"]), float(img["height"])
-        boxes, labels = [], []
+        boxes, labels, crowd = [], [], []
         for ann in anns_by_image.get(img["id"], ()):
             x, y, bw, bh = ann["bbox"]  # COCO xywh in pixels
             if bw <= 1 or bh <= 1:
@@ -55,6 +58,7 @@ def load_coco(
                 ]
             )
             labels.append(cat_to_label[ann["category_id"]])
+            crowd.append(bool(ann.get("iscrowd", 0)))
         records.append(
             ImageRecord(
                 image_id=str(img["id"]),
@@ -64,6 +68,7 @@ def load_coco(
                 boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
                 labels=np.asarray(labels, np.int32),
                 difficult=np.zeros(len(labels), bool),
+                crowd=np.asarray(crowd, bool),
             )
         )
     return Dataset(name=f"coco_{split}", class_names=class_names, records=records)

@@ -50,6 +50,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int,
     ]
+    try:
+        lib.odt_decode_batch_status.restype = ctypes.c_int
+        lib.odt_decode_batch_status.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
+    except AttributeError:
+        # Stale .so predating the status API: rebuild picks it up next time.
+        pass
     lib.odt_decode_single.restype = ctypes.c_int
     lib.odt_decode_single.argtypes = [
         ctypes.c_char_p,
@@ -66,11 +79,13 @@ def available() -> bool:
 
 def decode_batch(
     paths: Sequence[str], size: int, num_threads: int = 4
-) -> Optional[np.ndarray]:
-    """Decode+resize a batch of JPEG files -> (N, size, size, 3) uint8.
+) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Decode+resize a batch of JPEG files -> ((N, size, size, 3) uint8,
+    (N,) bool ok-mask).
 
     Returns None when the native library is unavailable (caller falls back
-    to PIL). Files that fail to decode come back as zeros.
+    to PIL). Files that fail native decode (corrupt, CMYK, non-JPEG) are
+    zero-filled with ok=False so the caller can re-decode them via PIL.
     """
     lib = _load()
     if lib is None:
@@ -78,7 +93,19 @@ def decode_batch(
     n = len(paths)
     out = np.zeros((n, size, size, 3), np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    lib.odt_decode_batch(
-        arr, n, size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads
-    )
-    return out
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if hasattr(lib, "odt_decode_batch_status"):
+        status = np.zeros((n,), np.uint8)
+        lib.odt_decode_batch_status(
+            arr, n, size, out.ctypes.data_as(u8p),
+            status.ctypes.data_as(u8p), num_threads,
+        )
+        ok = status == 0
+    else:  # stale .so: infer failures from zero-filled slots
+        failures = lib.odt_decode_batch(
+            arr, n, size, out.ctypes.data_as(u8p), num_threads
+        )
+        ok = np.ones((n,), bool)
+        if failures:
+            ok = out.reshape(n, -1).any(axis=1)
+    return out, ok

@@ -64,7 +64,9 @@ class DecodedCache:
             self.labels, self.valid = blob["labels"], blob["valid"]
             return
 
-        # Fast path: native C++ decode pool for file-backed records.
+        # Fast path: native C++ decode pool for file-backed records. Files
+        # the native decoder rejects (corrupt, CMYK, non-JPEG) fall through
+        # to the PIL path below instead of entering the cache as black.
         jpeg_idx = [i for i, r in enumerate(dataset.records) if r.path]
         if jpeg_idx:
             from object_detector_tpu.data import native_decode
@@ -75,11 +77,23 @@ class DecodedCache:
                 num_threads=max(1, num_workers),
             )
             if decoded is not None:
-                self.images[np.asarray(jpeg_idx)] = decoded
-                for i in jpeg_idx:
+                images, ok = decoded
+                self.images[np.asarray(jpeg_idx)] = images
+                jpeg_done = set()
+                for slot, i in enumerate(jpeg_idx):
+                    if not ok[slot]:
+                        continue  # retried via PIL below
                     b, l, v = pad_annotations(dataset.records[i], max_boxes)
                     self.boxes[i], self.labels[i], self.valid[i] = b, l, v
-                jpeg_done = set(jpeg_idx)
+                    jpeg_done.add(i)
+                n_failed = int(len(jpeg_idx) - len(jpeg_done))
+                if n_failed:
+                    import logging
+
+                    logging.getLogger("object_detector_tpu").warning(
+                        "native JPEG decode failed for %d/%d files; "
+                        "re-decoding via PIL", n_failed, len(jpeg_idx),
+                    )
             else:
                 jpeg_done = set()
         else:
@@ -88,7 +102,14 @@ class DecodedCache:
         def fill(i: int) -> None:
             rec = dataset.records[i]
             if rec.path:
-                self.images[i] = _decode_resize(rec.path, image_size)
+                try:
+                    self.images[i] = _decode_resize(rec.path, image_size)
+                except Exception as exc:  # undecodable even by PIL
+                    import logging
+
+                    logging.getLogger("object_detector_tpu").warning(
+                        "undecodable image %s (%s); using zeros", rec.path, exc
+                    )
             else:  # synthetic record — render procedurally
                 from object_detector_tpu.data.synthetic import render_synthetic_image
 
@@ -141,17 +162,30 @@ def epoch_batches(
     """
     n = len(cache)
     steps_per_epoch = n // batch_size if drop_remainder else -(-n // batch_size)
-    step = start_step
-    while True:
-        epoch = step // max(steps_per_epoch, 1)
-        rng = np.random.default_rng(seed + epoch)
-        order = rng.permutation(n) if shuffle else np.arange(n)
-        for b in range(step % steps_per_epoch, steps_per_epoch):
-            idx = order[b * batch_size : (b + 1) * batch_size]
-            if len(idx) < batch_size and drop_remainder:
-                break
-            yield cache.gather(idx)
-            step += 1
+    # Validate EAGERLY (this is a plain function returning a generator, not a
+    # generator function): a raise inside the generator body would fire on
+    # first next() inside the prefetcher thread and surface as a bare
+    # StopIteration, hiding this message.
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"dataset of {n} images yields zero batches at batch_size="
+            f"{batch_size} with drop_remainder — reduce the batch size"
+        )
+
+    def generate():
+        step = start_step
+        while True:
+            epoch = step // steps_per_epoch
+            rng = np.random.default_rng(seed + epoch)
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            for b in range(step % steps_per_epoch, steps_per_epoch):
+                idx = order[b * batch_size : (b + 1) * batch_size]
+                if len(idx) < batch_size and drop_remainder:
+                    break
+                yield cache.gather(idx)
+                step += 1
+
+    return generate()
 
 
 class DevicePrefetcher:

@@ -20,6 +20,15 @@ class ImageRecord:
     boxes: np.ndarray  # (M, 4) float32
     labels: np.ndarray  # (M,) int32, 1..C
     difficult: np.ndarray  # (M,) bool (VOC); all-False for COCO
+    # COCO crowd regions: ignored by training targets and matched as
+    # ignore-regions by the COCO evaluator. None == no crowd boxes.
+    crowd: Optional[np.ndarray] = None  # (M,) bool
+
+    @property
+    def crowd_mask(self) -> np.ndarray:
+        if self.crowd is None:
+            return np.zeros(len(self.labels), bool)
+        return self.crowd
 
 
 @dataclasses.dataclass
@@ -39,13 +48,19 @@ class Dataset:
 def pad_annotations(
     record: ImageRecord, max_boxes: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Pad (boxes, labels, valid) to static max_boxes (truncating overflow)."""
+    """Pad (boxes, labels, valid) to static max_boxes (truncating overflow).
+
+    Crowd regions never become training targets — they exist only for the
+    evaluator's ignore matching."""
+    keep = ~record.crowd_mask
+    rec_boxes = record.boxes[keep]
+    rec_labels = record.labels[keep]
     boxes = np.zeros((max_boxes, 4), np.float32)
     labels = np.zeros((max_boxes,), np.int32)
     valid = np.zeros((max_boxes,), bool)
-    m = min(len(record.boxes), max_boxes)
+    m = min(len(rec_boxes), max_boxes)
     if m:
-        boxes[:m] = record.boxes[:m]
-        labels[:m] = record.labels[:m]
+        boxes[:m] = rec_boxes[:m]
+        labels[:m] = rec_labels[:m]
         valid[:m] = True
     return boxes, labels, valid

@@ -90,14 +90,23 @@ def evaluate_dataset(
 
     bs = cfg.eval.batch_size
     n = len(dataset)
-    for start in range(0, n, bs):
+    # Static batch shape: the final partial batch OVERLAPS the previous one
+    # (start = n - bs) instead of padding with repeats, so every device row
+    # is a real image; already-processed rows are skipped host-side.
+    starts = list(range(0, n, bs))
+    if n >= bs and starts and starts[-1] + bs > n:
+        starts[-1] = n - bs
+    done = 0
+    for start in starts:
         idx = np.arange(start, min(start + bs, n))
-        pad = bs - len(idx)
+        pad = bs - len(idx)  # only when the whole dataset is < one batch
         padded_idx = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
         batch = cache.gather(padded_idx)
         det = predict(variables, jnp.asarray(batch["image"]))
         det = jax.device_get(det)
         for row, record_i in enumerate(idx):
+            if record_i < done:
+                continue  # overlap row already evaluated
             rec = dataset.records[record_i]
             keep = det.valid[row]
             evaluator.add_image(
@@ -108,7 +117,10 @@ def evaluate_dataset(
                 rec.boxes,
                 rec.labels,
                 rec.difficult,
+                gt_crowd=rec.crowd_mask,
+                image_size=(rec.width, rec.height),
             )
+        done = int(idx[-1]) + 1
     return evaluator.result()
 
 

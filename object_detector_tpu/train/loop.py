@@ -91,6 +91,7 @@ def train(
     metrics_log = MetricsLogger(metrics_path)
     t_last = time.perf_counter()
     start_step = int(jax.device_get(state.step))
+    last_logged_step = start_step
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -106,9 +107,12 @@ def train(
             if (step_i + 1) % cfg.train.log_every == 0 or step_i + 1 == num_steps:
                 metrics = jax.device_get(metrics)
                 now = time.perf_counter()
-                steps_done = cfg.train.log_every if step_i + 1 > cfg.train.log_every else step_i + 1 - start_step
+                # Actual steps since the last log — correct after resume at
+                # step N and for the final partial window (ADVICE r1).
+                steps_done = step_i + 1 - last_logged_step
                 imgs_per_sec = cfg.train.batch_size * steps_done / max(now - t_last, 1e-9)
                 t_last = now
+                last_logged_step = step_i + 1
                 metrics_log.log(
                     "train",
                     step=step_i + 1,

@@ -84,9 +84,14 @@ def test_load_coco(tmp_path):
     assert len(ds) == 2
     assert ds.class_names == ["dog", "bottle"]
     rec7 = next(r for r in ds.records if r.image_id == "7")
-    assert len(rec7.boxes) == 1  # crowd dropped
+    # Crowd region kept for the COCO evaluator, flagged, and excluded from
+    # training targets by pad_annotations.
+    assert len(rec7.boxes) == 2
+    np.testing.assert_array_equal(rec7.crowd_mask, [False, True])
     np.testing.assert_allclose(rec7.boxes[0], [0.1, 0.1, 0.3, 0.3], atol=1e-6)
     assert rec7.labels[0] == 1  # contiguous remap, sorted by category id
+    tb, tl, tv = pad_annotations(rec7, max_boxes=4)
+    assert tv.sum() == 1 and tl[0] == 1  # crowd never a training target
     rec8 = next(r for r in ds.records if r.image_id == "8")
     assert len(rec8.boxes) == 0  # degenerate bbox dropped
 

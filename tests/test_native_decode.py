@@ -38,8 +38,11 @@ def test_native_available():
 
 def test_decode_batch_matches_pil(jpeg_files):
     size = 96
-    out = native_decode.decode_batch(jpeg_files, size, num_threads=2)
-    assert out is not None and out.shape == (len(jpeg_files), size, size, 3)
+    result = native_decode.decode_batch(jpeg_files, size, num_threads=2)
+    assert result is not None
+    out, ok = result
+    assert out.shape == (len(jpeg_files), size, size, 3)
+    assert ok.all()
     from PIL import Image
 
     for i, p in enumerate(jpeg_files):
@@ -57,6 +60,8 @@ def test_decode_bad_file_zero_fills(tmp_path):
     bad = str(tmp_path / "not_a_jpeg.jpg")
     with open(bad, "wb") as f:
         f.write(b"hello world")
-    out = native_decode.decode_batch([bad], 32)
-    assert out is not None
+    result = native_decode.decode_batch([bad], 32)
+    assert result is not None
+    out, ok = result
     assert (out == 0).all()
+    assert not ok[0]  # caller re-decodes via PIL
