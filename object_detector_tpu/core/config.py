@@ -171,6 +171,17 @@ class EvalConfig:
     max_detections: int = 200  # per image, after NMS
     map_style: str = "voc07"  # "voc07" | "voc10" | "coco"
     use_pallas_nms: bool = True
+    # Pallas-path candidate prefilter. The compiled TPU default uses
+    # approx_max_k (partial-reduction top-k, ~2x faster at SSD sizes);
+    # set exact for bit-parity with lax.top_k selection. Measured
+    # compiled-vs-oracle agreement: benchmarks/tpu_nms_check.py artifact.
+    nms_exact_prefilter: bool = False
+    nms_recall_target: float = 0.95  # approx_max_k recall (ignored if exact)
+    # Per-class survivor cap = kernel's sequential iteration count. 100 is
+    # the perf default; set equal to max_detections for results identical
+    # to an uncapped per-class scan (survivors ranked below max_detections
+    # within one class can never enter the global top-k merge).
+    nms_max_per_class: int = 100
 
 
 @dataclasses.dataclass(frozen=True)

@@ -143,7 +143,7 @@ def _nms_rows(
     jax.jit,
     static_argnames=(
         "score_threshold", "iou_threshold", "pre_nms_top_k", "max_detections",
-        "max_per_class", "interpret",
+        "max_per_class", "interpret", "exact_prefilter", "recall_target",
     ),
 )
 def pallas_per_class_nms_batched(
@@ -156,6 +156,8 @@ def pallas_per_class_nms_batched(
     max_detections: int = 200,
     max_per_class: int = 100,
     interpret: bool | None = None,
+    exact_prefilter: bool = False,
+    recall_target: float = 0.95,
 ) -> Detections:
     """Batched per-class NMS. All B*C (image, class) problems become kernel
     rows — one pallas_call for the whole batch (do NOT vmap this; the batch
@@ -165,9 +167,19 @@ def pallas_per_class_nms_batched(
     classes, so the top M anchors by max-class score are selected once per
     image and their coordinates broadcast to every class row — this removes
     the per-(image, class) box gather that dominated the v3 profile
-    (11.7 ms of a 14 ms NMS). M = round_up(2 * pre_nms_top_k) keeps recall
-    at worst-case parity with per-class top-k selection; when M >= A the
-    result is exactly greedy per-class NMS.
+    (11.7 ms of a 14 ms NMS). M = 2 * pre_nms_top_k.
+
+    Approximation contract (honest version — ADVICE r1): when M < A the
+    result can differ from exact per-class NMS in two ways: (1) the
+    class-agnostic prefilter ranks anchors by max-class score, so a class
+    can lose low-ranked candidates to other classes' high scorers; (2) on
+    TPU the default prefilter is `approx_max_k(recall_target)` — set
+    `exact_prefilter=True` for `lax.top_k` selection. Additionally
+    `max_per_class` caps survivors per class; set it to `max_detections`
+    to make the cap unobservable in the merged output. Only when M >= A is
+    the result exactly greedy per-class NMS. Measured deviation at
+    realistic A >> M: tests/test_nms_pallas.py (candidate-starvation
+    bound) and benchmarks/tpu_nms_check.py (compiled vs oracle).
     """
     batch, num_anchors, num_classes = scores.shape
     m_eff = min(2 * pre_nms_top_k, num_anchors)
@@ -184,10 +196,12 @@ def pallas_per_class_nms_batched(
         # TPU-native partial-reduction top-k (the argmax-emit kernel needs
         # candidate recall, not ordering).
         agnostic = jnp.max(scores, axis=-1)  # (B, A)
-        if interpret:
+        if interpret or exact_prefilter:
             _, aidx = jax.lax.top_k(agnostic, m_eff)  # (B, M)
         else:
-            _, aidx = jax.lax.approx_max_k(agnostic, m_eff, recall_target=0.95)
+            _, aidx = jax.lax.approx_max_k(
+                agnostic, m_eff, recall_target=recall_target
+            )
         cand_scores = jnp.take_along_axis(scores, aidx[..., None], axis=1)
         cand_boxes = jnp.take_along_axis(boxes, aidx[..., None], axis=1)
 
@@ -244,6 +258,7 @@ def pallas_per_class_nms(
     static_argnames=(
         "score_threshold", "iou_threshold", "pre_nms_top_k", "max_detections",
         "max_per_class", "center_variance", "size_variance", "interpret",
+        "exact_prefilter", "recall_target",
     ),
 )
 def pallas_decode_nms(
@@ -259,13 +274,20 @@ def pallas_decode_nms(
     center_variance: float = 0.1,
     size_variance: float = 0.2,
     interpret: bool | None = None,
+    exact_prefilter: bool = False,
+    recall_target: float = 0.95,
 ) -> Detections:
     """Fused candidate-sparse postprocess: the anchor pre-filter runs on
     LOGITS (sigmoid is monotone, so top-M by max-class logit == top-M by
     max-class score), and sigmoid + box decode only touch the M gathered
     candidates instead of all A anchors — at SSD-300 bs=64 that removes
     full-size (B, 8732, C) sigmoid/transpose and (B, 8732, 4) decode
-    passes. Detection results are identical to decode-then-NMS."""
+    passes.
+
+    Same approximation contract as `pallas_per_class_nms_batched` (see its
+    docstring): exact only when M >= A; otherwise class-agnostic candidate
+    selection (+ approx_max_k unless `exact_prefilter`) can drop candidates
+    a per-class exact scan would keep."""
     from object_detector_tpu.ops import boxes as box_ops
 
     batch, num_anchors, num_classes = cls_logits.shape
@@ -282,10 +304,12 @@ def pallas_decode_nms(
         )
     else:
         agnostic = jnp.max(cls_logits, axis=-1)  # (B, A)
-        if interpret:
+        if interpret or exact_prefilter:
             _, aidx = jax.lax.top_k(agnostic, m_eff)
         else:
-            _, aidx = jax.lax.approx_max_k(agnostic, m_eff, recall_target=0.95)
+            _, aidx = jax.lax.approx_max_k(
+                agnostic, m_eff, recall_target=recall_target
+            )
         cand_logits = jnp.take_along_axis(cls_logits, aidx[..., None], axis=1)
         cand_offsets = jnp.take_along_axis(box_offsets, aidx[..., None], axis=1)
         cand_anchors = jnp.take(anchors_center, aidx, axis=0)  # (B, M, 4)

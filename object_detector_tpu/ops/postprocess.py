@@ -53,8 +53,11 @@ def postprocess(
             iou_threshold=cfg.eval.nms_iou_threshold,
             pre_nms_top_k=cfg.eval.pre_nms_top_k,
             max_detections=cfg.eval.max_detections,
+            max_per_class=cfg.eval.nms_max_per_class,
             center_variance=cfg.anchors.center_variance,
             size_variance=cfg.anchors.size_variance,
+            exact_prefilter=cfg.eval.nms_exact_prefilter,
+            recall_target=cfg.eval.nms_recall_target,
         )
 
     scores = scores_from_logits(cls_logits.astype(jnp.float32), cfg.model.family)

@@ -1,6 +1,7 @@
 """Checkpoint/resume round trip (SURVEY.md §5)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -9,6 +10,7 @@ from object_detector_tpu.train.checkpoint import CheckpointManager
 from object_detector_tpu.train.loop import init_model_state
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tmp_path):
     cfg = tiny_test_config()
     _, state = init_model_state(cfg, jax.random.key(0))

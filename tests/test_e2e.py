@@ -10,6 +10,10 @@ import jax
 import numpy as np
 import pytest
 
+# Whole module rides a 60-step training fixture (~3.5 min on this 1-CPU
+# host) — slow tier; run with --runslow.
+pytestmark = pytest.mark.slow
+
 from object_detector_tpu.core.config import tiny_test_config
 from object_detector_tpu.data.synthetic import make_synthetic_dataset
 from object_detector_tpu.eval.evaluator import evaluate_dataset

@@ -93,6 +93,7 @@ def resnet_setup():
     return cfg, model, variables, x
 
 
+@pytest.mark.slow
 def test_resnet_folded_float_matches_flax(resnet_setup):
     cfg, model, variables, x = resnet_setup
     want_cls, want_box = model.apply(variables, x, train=False)
@@ -105,6 +106,7 @@ def test_resnet_folded_float_matches_flax(resnet_setup):
                                atol=2e-3)
 
 
+@pytest.mark.slow
 def test_retinanet_int8_close_to_float():
     from object_detector_tpu.core.config import retinanet_anchor_config
     from object_detector_tpu.models.retinanet import RetinaNetModel
@@ -133,6 +135,7 @@ def test_retinanet_int8_close_to_float():
     assert np.percentile(box_err, 99) < 0.3, np.percentile(box_err, 99)
 
 
+@pytest.mark.slow
 def test_resnet_int8_close_to_float(resnet_setup):
     cfg, _, variables, x = resnet_setup
     qp, spec = engine.quantize_ssd(

@@ -2,6 +2,8 @@
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +20,7 @@ from object_detector_tpu.train.loop import init_model_state
 from object_detector_tpu.train.step import make_train_step
 
 
+@pytest.mark.slow
 def test_retinanet_overfit_smoke():
     size = 128
     cfg = DetectorConfig(

@@ -29,6 +29,7 @@ def setup():
     return cfg, model, anchors, batch
 
 
+@pytest.mark.slow
 def test_overfit_one_batch(setup):
     cfg, model, anchors, batch = setup
     # Fresh state per test: the step donates its input state buffers.
