@@ -321,6 +321,8 @@ def _retinanet_fpn_coco() -> DetectorConfig:
 
 
 _PRESETS = {
+    # Tiny 64px SSD for CLI smoke tests / CI (not a BASELINE config).
+    "tiny_test": lambda: tiny_test_config(),
     # BASELINE config #1: CPU single-image parity
     "ssd300_vgg16_voc": _ssd300_vgg16_voc,
     # BASELINE config #2: bs=64 one-chip fused preprocess + Pallas NMS

@@ -17,13 +17,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _multi_process_launch() -> bool:
+    """True when the environment indicates a multi-process (multi-host) run.
+
+    Signals, in the standard jax.distributed contract: the
+    `JAX_COORDINATOR_ADDRESS` / `JAX_NUM_PROCESSES` / `JAX_PROCESS_ID`
+    triplet (consumed by `jax.distributed.initialize()` itself when its
+    args are None), or a TPU-pod launcher exporting multiple worker
+    hostnames. A single-entry TPU_WORKER_HOSTNAMES (e.g. 'localhost',
+    which this image's sitecustomize injects) is NOT a multi-process
+    signal.
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return True
+    if int(os.environ.get("JAX_NUM_PROCESSES", "1") or 1) > 1:
+        return True
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hostnames.split(",") if h.strip()]) > 1
+
+
 def maybe_init_distributed() -> None:
     """Initialize jax.distributed when launched multi-host (env-driven).
 
-    Single-process runs (1 host, any chip count) skip this — jax.devices()
-    already sees the whole slice.
+    Contract (BASELINE config #5, v5e-16 = 4 hosts): see
+    `_multi_process_launch`. Single-process runs (1 host, any chip count)
+    skip this — jax.devices() already sees the whole slice.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    if _multi_process_launch():
         jax.distributed.initialize()
 
 

@@ -1,0 +1,104 @@
+"""Real-file end-to-end: actual JPEGs + VOC XML through the argparse CLI.
+
+VERDICT r1 item 8: nothing previously exercised argparse -> load_voc ->
+native/PIL JPEG decode -> DecodedCache -> train -> evaluate on files in the
+standard VOCdevkit layout (synthetic records bypass the JPEG+XML path).
+This test builds a tiny VOC2007 tree of PIL-encoded JPEGs (+ one corrupt
+file to exercise the decode fallback), trains a few steps through
+`cli.main.main`, and evaluates to an mAP dict — the full reference-mirroring
+surface (BASELINE entry points).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from object_detector_tpu.cli.main import main as cli_main
+from object_detector_tpu.data.voc import VOC_CLASSES
+
+
+def _write_voc_tree(root: str, n_images: int = 10, seed: int = 0) -> None:
+    base = os.path.join(root, "VOC2007")
+    for sub in ("Annotations", "JPEGImages", os.path.join("ImageSets", "Main")):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ids = []
+    for i in range(n_images):
+        image_id = f"{i:06d}"
+        ids.append(image_id)
+        w, h = 120, 90
+        img = np.full((h, w, 3), 190, np.uint8)
+        objs = []
+        for name, color in (("dog", (210, 50, 50)), ("cat", (50, 60, 210))):
+            bw, bh = int(rng.integers(25, 60)), int(rng.integers(20, 45))
+            x, y = int(rng.integers(0, w - bw)), int(rng.integers(0, h - bh))
+            img[y:y + bh, x:x + bw] = color
+            # VOC pixel coords are 1-based inclusive.
+            objs.append(
+                f"<object><name>{name}</name><difficult>0</difficult>"
+                f"<bndbox><xmin>{x + 1}</xmin><ymin>{y + 1}</ymin>"
+                f"<xmax>{x + bw}</xmax><ymax>{y + bh}</ymax></bndbox></object>"
+            )
+        Image.fromarray(img).save(
+            os.path.join(base, "JPEGImages", f"{image_id}.jpg"), quality=92
+        )
+        xml = (
+            f"<annotation><size><width>{w}</width><height>{h}</height>"
+            f"<depth>3</depth></size>{''.join(objs)}</annotation>"
+        )
+        with open(os.path.join(base, "Annotations", f"{image_id}.xml"), "w") as f:
+            f.write(xml)
+    # Corrupt one JPEG: must warn + fall back, not poison the cache silently.
+    with open(os.path.join(base, "JPEGImages", f"{ids[-1]}.jpg"), "wb") as f:
+        f.write(b"not a jpeg at all")
+    for split, members in (("trainval", ids), ("test", ids[:6])):
+        with open(os.path.join(base, "ImageSets", "Main", f"{split}.txt"), "w") as f:
+            f.write("\n".join(members) + "\n")
+
+
+@pytest.mark.slow
+def test_cli_train_evaluate_on_voc_files(tmp_path, capsys):
+    root = str(tmp_path / "VOCdevkit")
+    _write_voc_tree(root)
+    ckpt = str(tmp_path / "ckpt")
+    metrics = str(tmp_path / "metrics.jsonl")
+    common = [
+        "--preset", "tiny_test",
+        "--data-root", root,
+        "--set", "data.dataset=voc",
+        "--set", f"model.num_classes={len(VOC_CLASSES)}",
+    ]
+    rc = cli_main(
+        ["train", *common, "--steps", "4", "--checkpoint", ckpt,
+         "--metrics", metrics,
+         "--set", "train.batch_size=8", "--set", "train.log_every=2",
+         "--set", "train.checkpoint_every=2"]
+    )
+    assert rc == 0
+    # Metrics JSONL carries real train records with throughput fields.
+    with open(metrics) as f:
+        rows = [json.loads(line) for line in f]
+    train_rows = [r for r in rows if r.get("tag") == "train" or "loss" in r]
+    assert train_rows and all(np.isfinite(r["loss"]) for r in train_rows)
+
+    rc = cli_main(
+        ["evaluate", *common, "--checkpoint", ckpt, "--split", "test",
+         "--set", "eval.batch_size=4"]
+    )
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "mAP" in result and result["mAP"] >= 0.0
+
+    # Predict on one of the real JPEGs through the CLI (random-weight smoke
+    # uses --checkpoint to run the trained model instead).
+    img_path = os.path.join(root, "VOC2007", "JPEGImages", "000000.jpg")
+    out_path = str(tmp_path / "out.jpg")
+    rc = cli_main(
+        ["predict", *common, "--image", img_path, "--checkpoint", ckpt,
+         "--output", out_path, "--score-threshold", "0.0001"]
+    )
+    assert rc == 0
+    assert os.path.exists(out_path)
