@@ -61,6 +61,13 @@ def main():
         f"end-to-end (incl. ~{rt*1e3:.0f}ms tunnel RT): "
         f"p50={np.percentile(lat, 50):.2f}ms p90={np.percentile(lat, 90):.2f}ms"
     )
+    if "--json" in sys.argv:
+        import json
+
+        print(json.dumps({
+            "p50_latency_ms_bs1": round(dt * 1e3, 3),
+            "e2e_p50_ms_incl_tunnel": round(float(np.percentile(lat, 50)), 2),
+        }))
 
 
 if __name__ == "__main__":
