@@ -131,6 +131,10 @@ class DataConfig:
     num_workers: int = 4  # host JPEG decode pool
     prefetch: int = 2  # device prefetch depth (double-buffering)
     cache_decoded: bool = True  # pre-decoded uint8 cache (SURVEY §7 #5)
+    # Above this budget the decoded-image cache spills to a disk memmap
+    # (COCO train2017 @512² ≈ 93 GB would otherwise OOM the host).
+    max_cache_ram_gb: float = 8.0
+    cache_spill_dir: str = ""  # "" -> alongside cache file / temp dir
     augment: AugmentConfig = dataclasses.field(default_factory=AugmentConfig)
 
 

@@ -19,6 +19,7 @@ import collections
 import concurrent.futures as futures
 import os
 import queue
+import tempfile
 import threading
 from typing import Dict, Iterator, Optional
 
@@ -40,7 +41,17 @@ def _decode_resize(path: str, size: int) -> np.ndarray:
 
 
 class DecodedCache:
-    """All-images uint8 cache: (N, S, S, 3) + padded annotations."""
+    """All-images uint8 cache: (N, S, S, 3) + padded annotations.
+
+    For COCO-scale datasets the image array no longer fits in host RAM
+    (train2017 at 512² ≈ 93 GB), so when its size exceeds
+    `max_ram_bytes` the cache spills to a disk-backed `np.memmap`
+    (`spill_dir`, default: alongside `cache_path` or a temp dir).
+    `gather` fancy-indexing is unchanged — reads ride the OS page cache,
+    so hot batches cost RAM only up to the page-cache budget, and a
+    completed spill file is reused across runs (annotations are cheap to
+    rebuild; only pixels are memmapped).
+    """
 
     def __init__(
         self,
@@ -49,16 +60,61 @@ class DecodedCache:
         max_boxes: int = 100,
         num_workers: int = 4,
         cache_path: Optional[str] = None,
+        max_ram_bytes: Optional[int] = None,
+        spill_dir: Optional[str] = None,
     ):
         self.dataset = dataset
         self.image_size = image_size
         n = len(dataset)
-        self.images = np.zeros((n, image_size, image_size, 3), np.uint8)
+        img_shape = (n, image_size, image_size, 3)
         self.boxes = np.zeros((n, max_boxes, 4), np.float32)
         self.labels = np.zeros((n, max_boxes), np.int32)
         self.valid = np.zeros((n, max_boxes), bool)
 
-        if cache_path and os.path.exists(cache_path):
+        self.memmap_path: Optional[str] = None
+        spill = (
+            max_ram_bytes is not None
+            and int(np.prod(img_shape)) > max_ram_bytes
+        )
+        reuse_memmap = False
+        if spill:
+            if spill_dir is None:
+                spill_dir = (
+                    os.path.dirname(os.path.abspath(cache_path))
+                    if cache_path
+                    else tempfile.mkdtemp(prefix="odt_cache_")
+                )
+            os.makedirs(spill_dir, exist_ok=True)
+            self.memmap_path = os.path.join(
+                spill_dir, f"images_{n}x{image_size}.npy"
+            )
+            marker = self.memmap_path + ".complete"
+            if os.path.exists(self.memmap_path) and os.path.exists(marker):
+                self.images = np.lib.format.open_memmap(
+                    self.memmap_path, mode="r"
+                )
+                reuse_memmap = self.images.shape == img_shape
+                if not reuse_memmap:
+                    self.images = np.lib.format.open_memmap(
+                        self.memmap_path, mode="w+",
+                        dtype=np.uint8, shape=img_shape,
+                    )
+            else:
+                self.images = np.lib.format.open_memmap(
+                    self.memmap_path, mode="w+", dtype=np.uint8, shape=img_shape
+                )
+        else:
+            self.images = np.zeros(img_shape, np.uint8)
+
+        if reuse_memmap:
+            # Pixels are on disk already; only rebuild the (small) host-RAM
+            # annotation arrays from the dataset records.
+            for i, rec in enumerate(dataset.records):
+                b, l, v = pad_annotations(rec, max_boxes)
+                self.boxes[i], self.labels[i], self.valid[i] = b, l, v
+            return
+
+        if not spill and cache_path and os.path.exists(cache_path):
             blob = np.load(cache_path)
             self.images, self.boxes = blob["images"], blob["boxes"]
             self.labels, self.valid = blob["labels"], blob["valid"]
@@ -67,37 +123,40 @@ class DecodedCache:
         # Fast path: native C++ decode pool for file-backed records. Files
         # the native decoder rejects (corrupt, CMYK, non-JPEG) fall through
         # to the PIL path below instead of entering the cache as black.
+        # Chunked so the temporary decode buffer stays bounded (~0.75 GB at
+        # 512²) regardless of dataset size — required for the memmap path.
         jpeg_idx = [i for i, r in enumerate(dataset.records) if r.path]
-        if jpeg_idx:
+        jpeg_done = set()
+        native_ok = bool(jpeg_idx)
+        chunk = 1024
+        for lo in range(0, len(jpeg_idx), chunk):
+            idx_chunk = jpeg_idx[lo : lo + chunk]
             from object_detector_tpu.data import native_decode
 
             decoded = native_decode.decode_batch(
-                [dataset.records[i].path for i in jpeg_idx],
+                [dataset.records[i].path for i in idx_chunk],
                 image_size,
                 num_threads=max(1, num_workers),
             )
-            if decoded is not None:
-                images, ok = decoded
-                self.images[np.asarray(jpeg_idx)] = images
-                jpeg_done = set()
-                for slot, i in enumerate(jpeg_idx):
-                    if not ok[slot]:
-                        continue  # retried via PIL below
-                    b, l, v = pad_annotations(dataset.records[i], max_boxes)
-                    self.boxes[i], self.labels[i], self.valid[i] = b, l, v
-                    jpeg_done.add(i)
-                n_failed = int(len(jpeg_idx) - len(jpeg_done))
-                if n_failed:
-                    import logging
+            if decoded is None:
+                native_ok = False
+                break  # native lib unavailable — PIL handles everything
+            images, ok = decoded
+            self.images[np.asarray(idx_chunk)] = images
+            for slot, i in enumerate(idx_chunk):
+                if not ok[slot]:
+                    continue  # retried via PIL below
+                b, l, v = pad_annotations(dataset.records[i], max_boxes)
+                self.boxes[i], self.labels[i], self.valid[i] = b, l, v
+                jpeg_done.add(i)
+        if native_ok and len(jpeg_done) < len(jpeg_idx):
+            import logging
 
-                    logging.getLogger("object_detector_tpu").warning(
-                        "native JPEG decode failed for %d/%d files; "
-                        "re-decoding via PIL", n_failed, len(jpeg_idx),
-                    )
-            else:
-                jpeg_done = set()
-        else:
-            jpeg_done = set()
+            logging.getLogger("object_detector_tpu").warning(
+                "native JPEG decode failed for %d/%d files; "
+                "re-decoding via PIL",
+                len(jpeg_idx) - len(jpeg_done), len(jpeg_idx),
+            )
 
         def fill(i: int) -> None:
             rec = dataset.records[i]
@@ -126,7 +185,15 @@ class DecodedCache:
             with futures.ThreadPoolExecutor(workers) as pool:
                 list(pool.map(fill, todo))
 
-        if cache_path:
+        if self.memmap_path is not None:
+            self.images.flush()
+            with open(self.memmap_path + ".complete", "w") as f:
+                f.write("ok\n")
+            # Reopen read-only: training must never dirty cache pages
+            # (dirty pages pin RAM until writeback; clean ones are
+            # evictable for free).
+            self.images = np.lib.format.open_memmap(self.memmap_path, mode="r")
+        elif cache_path:
             np.savez(
                 cache_path,
                 images=self.images,

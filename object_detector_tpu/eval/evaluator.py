@@ -75,7 +75,9 @@ def evaluate_dataset(
     """Run the val sweep and return the mAP dict for cfg.eval.map_style."""
     if cache is None:
         cache = DecodedCache(
-            dataset, cfg.model.image_size, cfg.data.max_boxes, cfg.data.num_workers
+            dataset, cfg.model.image_size, cfg.data.max_boxes, cfg.data.num_workers,
+            max_ram_bytes=int(cfg.data.max_cache_ram_gb * 2**30),
+            spill_dir=cfg.data.cache_spill_dir or None,
         )
     anchors = _anchors_for(cfg)
     if int8:

@@ -80,7 +80,9 @@ def train(
                 log.info("resumed from step %d", int(state.step))
 
     cache = DecodedCache(
-        dataset, cfg.model.image_size, cfg.data.max_boxes, cfg.data.num_workers
+        dataset, cfg.model.image_size, cfg.data.max_boxes, cfg.data.num_workers,
+        max_ram_bytes=int(cfg.data.max_cache_ram_gb * 2**30),
+        spill_dir=cfg.data.cache_spill_dir or None,
     )
     batches = epoch_batches(
         cache, cfg.train.batch_size, cfg.train.seed, start_step=data_step
