@@ -175,11 +175,13 @@ class EvalConfig:
     max_detections: int = 200  # per image, after NMS
     map_style: str = "voc07"  # "voc07" | "voc10" | "coco"
     use_pallas_nms: bool = True
-    # Pallas-path candidate prefilter. The compiled TPU default uses
-    # approx_max_k (partial-reduction top-k, ~2x faster at SSD sizes);
-    # set exact for bit-parity with lax.top_k selection. Measured
-    # compiled-vs-oracle agreement: benchmarks/tpu_nms_check.py artifact.
-    nms_exact_prefilter: bool = False
+    # Pallas-path candidate prefilter. Exact lax.top_k selection is the
+    # default: at SSD candidate counts (M=512 of A=8732) XLA lowers BOTH
+    # approx_max_k and top_k to the same full variadic sort (verified in
+    # the compiled HLO, benchmarks/profile_int8.py), so approximation
+    # bought nothing — exactness is free. approx_max_k remains available
+    # for shapes where PartialReduce actually kicks in.
+    nms_exact_prefilter: bool = True
     nms_recall_target: float = 0.95  # approx_max_k recall (ignored if exact)
     # Per-class survivor cap = kernel's sequential iteration count. 100 is
     # the perf default; set equal to max_detections for results identical

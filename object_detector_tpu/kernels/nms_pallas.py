@@ -46,7 +46,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _nms_kernel(
     x1_ref, y1_ref, x2_ref, y2_ref, scores_ref,  # (R, k) each
-    out_ref,  # (R, k) kept scores
+    out_scores_ref,  # (R, max_out) winner scores, in emit order (desc)
+    out_cols_ref,  # (R, max_out) winner candidate columns (s32)
     *,
     k: int,
     rows: int,
@@ -61,40 +62,89 @@ def _nms_kernel(
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (R, k)
     scores = scores_ref[:]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
+    out_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, max_out), 1)
 
-    def emit(carry):
-        remaining, kept = carry
+    def emit(j, carry):
+        remaining, acc_s, acc_c = carry
         s = jnp.max(remaining, axis=1, keepdims=True)  # (R, 1)
         idx = jnp.argmax(remaining, axis=1).reshape(rows, 1)  # (R, 1)
-        valid = (s > score_threshold).astype(jnp.float32)  # (R, 1)
+        valid = s > score_threshold  # (R, 1) bool
         onehot = (col_ids == idx).astype(jnp.float32)  # (R, k)
-        kept = kept + onehot * valid
-        # Winner coordinates per row via masked reduce.
+        # Compact emit: slot j of the survivor list takes this winner's
+        # (score, column) — lane-select into loop-carried accumulators
+        # (Mosaic cannot store at a dynamic lane index). The merge then
+        # sorts C*max_out entries per image instead of C*k (5x smaller
+        # at the default config).
+        hit = (out_iota == j) & valid  # (R, max_out)
+        acc_s = jnp.where(hit, s, acc_s)
+        acc_c = jnp.where(hit, idx, acc_c)
+        # Winner coordinates per row via masked reduce; the winner's area
+        # follows from its corners (saves a 5th full-plane multiply+reduce
+        # per sequential step).
         wx1 = jnp.sum(x1 * onehot, axis=1, keepdims=True)
         wy1 = jnp.sum(y1 * onehot, axis=1, keepdims=True)
         wx2 = jnp.sum(x2 * onehot, axis=1, keepdims=True)
         wy2 = jnp.sum(y2 * onehot, axis=1, keepdims=True)
-        w_area = jnp.sum(area * onehot, axis=1, keepdims=True)
+        w_area = jnp.maximum(wx2 - wx1, 0.0) * jnp.maximum(wy2 - wy1, 0.0)
         # Winner-vs-all IoU, rows independent.
         iw = jnp.maximum(jnp.minimum(wx2, x2) - jnp.maximum(wx1, x1), 0.0)
         ih = jnp.maximum(jnp.minimum(wy2, y2) - jnp.maximum(wy1, y1), 0.0)
         inter = iw * ih
         union = w_area + area - inter
         row = (inter > iou_threshold * union).astype(jnp.float32)
-        suppress = jnp.maximum(row, onehot) * valid
-        remaining = remaining * (1.0 - suppress)
-        return remaining, kept
+        suppress = jnp.maximum(row, onehot) * valid.astype(jnp.float32)
+        return remaining * (1.0 - suppress), acc_s, acc_c
 
-    def body(_, carry):
+    def body(j, carry):
         # Early-exit shortcut: once every row's candidates fall below the
-        # score threshold, remaining iterations cost one scalar compare.
+        # score threshold, remaining iterations cost one scalar compare
+        # (accumulators start zeroed, so skipped slots are empty).
         any_active = jnp.max(carry[0]) > score_threshold
-        return jax.lax.cond(any_active, emit, lambda c: c, carry)
+        return jax.lax.cond(
+            any_active, lambda c: emit(j, c), lambda c: c, carry
+        )
 
-    _, kept = jax.lax.fori_loop(
-        0, max_out, body, (scores, jnp.zeros((rows, k), jnp.float32))
+    _, out_s, out_c = jax.lax.fori_loop(
+        0,
+        max_out,
+        body,
+        (
+            scores,
+            jnp.zeros((rows, max_out), jnp.float32),
+            jnp.zeros((rows, max_out), jnp.int32),
+        ),
     )
-    out_ref[:] = scores * kept
+    out_scores_ref[:] = out_s
+    out_cols_ref[:] = out_c
+
+
+def _merge_survivors(
+    kept_s: Array,  # (B*C, n_out) survivor scores
+    kept_c: Array,  # (B*C, n_out) survivor candidate columns
+    cand_boxes: Array,  # (B, M, 4)
+    batch: int,
+    num_classes: int,
+    n_out: int,
+    max_detections: int,
+) -> Detections:
+    """Cross-class merge per image over COMPACT survivor lists (C * n_out
+    entries vs C * M candidates — 5x smaller sort at the default config)."""
+    total = num_classes * n_out
+    flat_scores = kept_s.reshape(batch, total)
+    flat_cols = kept_c.reshape(batch, total)
+    if total < max_detections:  # tiny configs: pad with empty slots
+        flat_scores = jnp.pad(flat_scores, ((0, 0), (0, max_detections - total)))
+        flat_cols = jnp.pad(flat_cols, ((0, 0), (0, max_detections - total)))
+    merged_scores, merged_idx = jax.lax.top_k(flat_scores, max_detections)
+    anchor_idx = jnp.take_along_axis(flat_cols, merged_idx, axis=1)
+    out_boxes = jnp.take_along_axis(cand_boxes, anchor_idx[..., None], axis=1)
+    out_classes = jnp.minimum(merged_idx // n_out, num_classes - 1).astype(
+        jnp.int32
+    )
+    valid = merged_scores > 0.0
+    return Detections(
+        boxes=out_boxes, scores=merged_scores, classes=out_classes, valid=valid
+    )
 
 
 def _nms_rows(
@@ -105,8 +155,10 @@ def _nms_rows(
     iou_threshold: float,
     score_threshold: float,
     interpret: bool,
-) -> Array:
-    """Run the kernel over all rows; returns kept scores (R, k)."""
+) -> tuple[Array, Array]:
+    """Run the kernel over all rows; returns per-row survivors in emit
+    (descending-score) order: (scores (R, max_out) f32, candidate columns
+    (R, max_out) s32). Empty slots have score 0."""
     total_rows, k = scores.shape
     chunk = min(_ROW_CHUNK, total_rows)
     pad_rows = _round_up(total_rows, chunk) - total_rows
@@ -126,17 +178,23 @@ def _nms_rows(
     plane = lambda i: pl.BlockSpec(  # noqa: E731
         (chunk, k), lambda r: (r, 0), memory_space=pltpu.VMEM
     )
-    kept = pl.pallas_call(
+    out_spec = pl.BlockSpec(
+        (chunk, max_out), lambda r: (r, 0), memory_space=pltpu.VMEM
+    )
+    kept_s, kept_c = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[plane(0), plane(1), plane(2), plane(3), plane(4)],
-        out_specs=pl.BlockSpec((chunk, k), lambda r: (r, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(scores.shape, jnp.float32),
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((scores.shape[0], max_out), jnp.float32),
+            jax.ShapeDtypeStruct((scores.shape[0], max_out), jnp.int32),
+        ),
         interpret=interpret,
     )(coords[0], coords[1], coords[2], coords[3], scores)
     if pad_rows:
-        kept = kept[:total_rows]
-    return kept
+        kept_s, kept_c = kept_s[:total_rows], kept_c[:total_rows]
+    return kept_s, kept_c
 
 
 @functools.partial(
@@ -219,24 +277,18 @@ def pallas_per_class_nms_batched(
         (4, batch, num_classes, m),
     ).reshape(4, rows, m)
 
-    kept_scores = _nms_rows(
+    n_out = min(max_per_class, max_detections, m)
+    kept_s, kept_c = _nms_rows(
         coords,
         row_scores.astype(jnp.float32),
-        max_out=min(max_per_class, max_detections, m),
+        max_out=n_out,
         iou_threshold=iou_threshold,
         score_threshold=score_threshold,
         interpret=interpret,
-    ).reshape(batch, num_classes, m)
+    )
 
-    # Cross-class merge per image: top max_detections by kept score.
-    flat_scores = kept_scores.reshape(batch, num_classes * m)
-    merged_scores, merged_idx = jax.lax.top_k(flat_scores, max_detections)
-    anchor_idx = merged_idx % m  # box index within the shared candidate set
-    out_boxes = jnp.take_along_axis(cand_boxes, anchor_idx[..., None], axis=1)
-    out_classes = (merged_idx // m).astype(jnp.int32)
-    valid = merged_scores > 0.0
-    return Detections(
-        boxes=out_boxes, scores=merged_scores, classes=out_classes, valid=valid
+    return _merge_survivors(
+        kept_s, kept_c, cand_boxes, batch, num_classes, n_out, max_detections
     )
 
 
@@ -331,21 +383,16 @@ def pallas_decode_nms(
         (4, batch, num_classes, m),
     ).reshape(4, rows, m)
 
-    kept_scores = _nms_rows(
+    n_out = min(max_per_class, max_detections, m)
+    kept_s, kept_c = _nms_rows(
         coords,
         row_scores.astype(jnp.float32),
-        max_out=min(max_per_class, max_detections, m),
+        max_out=n_out,
         iou_threshold=iou_threshold,
         score_threshold=score_threshold,
         interpret=interpret,
-    ).reshape(batch, num_classes, m)
+    )
 
-    flat_scores = kept_scores.reshape(batch, num_classes * m)
-    merged_scores, merged_idx = jax.lax.top_k(flat_scores, max_detections)
-    anchor_idx = merged_idx % m
-    out_boxes = jnp.take_along_axis(cand_boxes, anchor_idx[..., None], axis=1)
-    out_classes = (merged_idx // m).astype(jnp.int32)
-    valid = merged_scores > 0.0
-    return Detections(
-        boxes=out_boxes, scores=merged_scores, classes=out_classes, valid=valid
+    return _merge_survivors(
+        kept_s, kept_c, cand_boxes, batch, num_classes, n_out, max_detections
     )

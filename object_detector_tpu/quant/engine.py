@@ -48,6 +48,30 @@ class ConvOp:
     # epilogue before the (optional) relu. The register holds the SAVED
     # activation from a SaveOp.
     add_register: Optional[str] = None
+    # "direct": lax.conv. "im2col": shifted-copy patches + matmul —
+    # measured 2.3x faster for tiny-Cin first layers (conv1_1 Cin=3)
+    # where XLA's direct int8 conv emitter underutilizes the MXU.
+    algo: str = "direct"
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedConvPoolOp:
+    """3x3/s1/SAME conv + 2x2/s2 max-pool folded into ONE 4x4/s2 conv.
+
+    The 4 subpixels of each 2x2 pooling cell become 4 output-channel
+    groups (packed weights: W4[ky+dy, kx+dx, :, g*C+o] = W[ky,kx,:,o],
+    g = 2*dy+dx), and the pool is a channel-group max in the epilogue,
+    BEFORE requant. Exact: same MACs in int32, relu commutes with max.
+
+    Why: for C=64 output channels the direct conv fills half the MXU's
+    128 output lanes (measured at the 50%-lane ceiling: conv1_2 2.79 ms
+    + pool1 1.29 ms of a 20.6 ms SSD-300 program); packing quadruples
+    lanes to 256 at 16/9 FLOP redundancy — net ~1.8x — and never
+    materializes the pre-pool tensor (369 MB at bs=64) to HBM.
+    """
+
+    path: str
+    relu: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -213,6 +237,8 @@ def _get_path(params: Dict[str, Any], path: str) -> Dict[str, Any]:
 
 
 def _conv(x: Array, kernel: Array, op: ConvOp, accum_dtype) -> Array:
+    if op.algo == "im2col":
+        return _conv_im2col(x, kernel, op, accum_dtype)
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
     )
@@ -228,6 +254,63 @@ def _conv(x: Array, kernel: Array, op: ConvOp, accum_dtype) -> Array:
         dimension_numbers=dn,
         preferred_element_type=accum_dtype,
     )
+
+
+def _conv_im2col(x: Array, kernel: Array, op: ConvOp, accum_dtype) -> Array:
+    """kh*kw shifted copies -> channel-concat patches -> one matmul.
+
+    For tiny input channel counts (conv1_1: Cin=3) XLA's direct conv
+    emitter runs far below MXU rate (layout-hostile minor dim); a K=27
+    matmul over explicit patches measured 2.79 -> ~1.2 ms in-program on
+    v5e (benchmarks/stem_experiments.py history). SAME/stride-1 only.
+    """
+    assert op.stride == 1 and op.dilation == 1 and op.padding == "SAME"
+    kh, kw, cin, cout = kernel.shape
+    s_h, s_w = x.shape[1], x.shape[2]
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    cols = [
+        xp[:, ky : ky + s_h, kx : kx + s_w, :]
+        for ky in range(kh)
+        for kx in range(kw)
+    ]
+    patches = jnp.concatenate(cols, axis=-1)  # (B,H,W,kh*kw*cin)
+    return jax.lax.dot_general(
+        patches,
+        kernel.reshape(kh * kw * cin, cout),
+        (((3,), (0,)), ((), ())),
+        preferred_element_type=accum_dtype,
+    )
+
+
+def _pack_pool_kernel(w: np.ndarray) -> np.ndarray:
+    """(3,3,Cin,C) conv kernel -> (4,4,Cin,4C) conv+pool packed kernel."""
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    packed = np.zeros((4, 4, cin, 4 * cout), w.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            g = 2 * dy + dx
+            packed[dy : dy + 3, dx : dx + 3, :, g * cout : (g + 1) * cout] = w
+    return packed
+
+
+def _packed_conv_pool_int8(
+    x: Array, w_packed: Array, deq: Array, bias: Array, relu: bool
+) -> Array:
+    """Int8 packed conv+pool: int32 accum -> f32 epilogue -> group max."""
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w_packed.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    acc = jax.lax.conv_general_dilated(
+        x, w_packed, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=dn, preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * deq + bias
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    b, h, w_, c4 = y.shape
+    return jnp.max(y.reshape(b, h, w_, 4, c4 // 4), axis=3)
 
 
 def _pool(x: Array, op: PoolOp) -> Array:
@@ -282,6 +365,19 @@ def run_float(
             if op.relu:
                 y = jnp.maximum(y, 0.0)
             x = y.astype(compute_dtype)
+            absmax[op.path] = jnp.max(jnp.abs(x))
+        elif isinstance(op, PackedConvPoolOp):
+            # Float reference: plain conv + relu + pool (identical math;
+            # relu>=0 so the pre-pool absmax survives pooling — scales
+            # match the packed int8 path exactly).
+            p = _get_path(params, op.path)
+            y = _conv(
+                x, p["kernel"].astype(compute_dtype), ConvOp(op.path), jnp.float32
+            )
+            y = y + p["bias"].astype(jnp.float32)
+            if op.relu:
+                y = jnp.maximum(y, 0.0)
+            x = _pool(y.astype(compute_dtype), PoolOp())
             absmax[op.path] = jnp.max(jnp.abs(x))
         elif isinstance(op, SaveOp):
             regs[op.name] = x
@@ -367,6 +463,16 @@ def quantize_params(
     w_scale: Dict[str, np.ndarray] = {}
     bias: Dict[str, np.ndarray] = {}
     for op in spec:
+        if isinstance(op, PackedConvPoolOp):
+            # Quantize the original 3x3 kernel per-out-channel, THEN pack:
+            # packed group g channel o reuses scale s[o], so dequant is a
+            # 4x-tiled scale vector and parity with the unpacked conv is
+            # exact.
+            w_q, s, b = _quantize_kernel(_get_path(params, op.path))
+            w_int8[op.path] = _pack_pool_kernel(w_q)
+            w_scale[op.path] = np.tile(s, 4)
+            bias[op.path] = np.tile(b, 4)
+            continue
         if not isinstance(op, ConvOp):
             continue
         w_q, s, b = _quantize_kernel(_get_path(params, op.path))
@@ -426,6 +532,29 @@ def run_int8(
             out_scale = qp.act_scale[op.path]
             x = jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
             cur_scale = out_scale
+        elif isinstance(op, PackedConvPoolOp):
+            # Requant BEFORE the group max: every group shares the same
+            # per-channel scale, and x -> clip(round(x/s)) is monotone, so
+            # max commutes with requant exactly — and the conv keeps its
+            # fused dequant+relu+requant epilogue (a f32 pre-max tensor
+            # would cost ~1.5 GB of HBM traffic at bs=64).
+            w_p = jnp.asarray(qp.w_int8[op.path])
+            deq = cur_scale * jnp.asarray(qp.w_scale[op.path])
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w_p.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            acc = jax.lax.conv_general_dilated(
+                x, w_p, (2, 2), [(1, 1), (1, 1)],
+                dimension_numbers=dn, preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * deq + jnp.asarray(qp.bias[op.path])
+            if op.relu:
+                y = jnp.maximum(y, 0.0)
+            out_scale = qp.act_scale[op.path]
+            q = jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
+            b_, h_, w_, c4 = q.shape
+            x = jnp.max(q.reshape(b_, h_, w_, 4, c4 // 4), axis=3)
+            cur_scale = out_scale
         elif isinstance(op, SaveOp):
             regs[op.name] = (x, cur_scale)
         elif isinstance(op, LoadOp):
@@ -447,26 +576,38 @@ def apply_heads_int8(
     qp: QuantParams,
     taps_q: List[Tuple[Array, float]],
     cfg: DetectorConfig,
+    pallas_l2norm: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
     """Int8 prediction heads over int8 taps.
 
     L2Norm on tap0 (VGG only) is scale-invariant in its input (x/||x||
     cancels any per-tensor scale), so it runs directly on the int8 codes
-    and requants with the calibrated "__l2norm__" scale. Head convs are
-    int8 with f32 dequant outputs (no further requant — final logits).
+    and requants with the calibrated "__l2norm__" scale. The jnp
+    formulation is the default everywhere: a fused Pallas variant
+    (kernels/l2norm_pallas.py) measured SLOWER in-program on v5e (21.2 vs
+    20.4 ms pipeline — the pallas_call fusion boundary costs more than
+    XLA's fused lowering of the jnp ops); kept for reference. Head convs
+    are int8 with f32 dequant outputs (no further requant — final logits).
     """
     taps = list(taps_q)
     if "__l2norm__" in qp.act_scale:
         q0, _ = taps[0]
-        qf = q0.astype(jnp.float32)
-        sq = jnp.sum(jnp.square(qf), axis=-1, keepdims=True)
         gamma = jnp.asarray(qp.float_params["l2norm"]["scale"], jnp.float32)
-        ln = qf * jax.lax.rsqrt(sq + 1e-12) * gamma
         s0 = qp.act_scale["__l2norm__"]
-        taps[0] = (
-            jnp.clip(jnp.round(ln / s0), -127, 127).astype(jnp.int8),
-            s0,
-        )
+        if pallas_l2norm is None:
+            pallas_l2norm = False
+        if pallas_l2norm:
+            from object_detector_tpu.kernels.l2norm_pallas import l2norm_requant
+
+            taps[0] = (l2norm_requant(q0, gamma, s0), s0)
+        else:
+            qf = q0.astype(jnp.float32)
+            sq = jnp.sum(jnp.square(qf), axis=-1, keepdims=True)
+            ln = qf * jax.lax.rsqrt(sq + 1e-12) * gamma
+            taps[0] = (
+                jnp.clip(jnp.round(ln / s0), -127, 127).astype(jnp.int8),
+                s0,
+            )
 
     cls_out, box_out = [], []
     for level, ((tap, s_tap), a) in enumerate(
@@ -536,11 +677,14 @@ def quantize_ssd(
     params: Dict[str, Any],
     calibration_batches: Sequence[Array],
     batch_stats: Optional[Dict[str, Any]] = None,
+    spec: Optional[Spec] = None,
 ) -> Tuple[QuantParams, Spec]:
     """One-call PTQ: [BN-fold] + calibrate + quantize. `calibration_batches`
     are normalized float image batches; `batch_stats` is required for
-    BatchNorm backbones (ResNet)."""
-    spec = build_spec(cfg)
+    BatchNorm backbones (ResNet). `spec` overrides the default op list
+    (e.g. a PackedConvPoolOp variant)."""
+    if spec is None:
+        spec = build_spec(cfg)
     use_l2norm = cfg.model.backbone == "vgg16"
     if cfg.model.backbone == "resnet50":
         if batch_stats is None:

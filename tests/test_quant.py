@@ -148,3 +148,27 @@ def test_resnet_int8_close_to_float(resnet_setup):
     box_err = np.abs(np.asarray(q_box) - np.asarray(f_box))
     assert np.percentile(cls_err, 99) < 0.25, np.percentile(cls_err, 99)
     assert np.percentile(box_err, 99) < 0.25, np.percentile(box_err, 99)
+
+
+def test_pallas_l2norm_matches_jnp():
+    """Fused Pallas L2Norm+requant == the jnp formulation (interpret mode;
+    identical arithmetic up to float associativity of the folded scale)."""
+    import numpy as np
+
+    from object_detector_tpu.kernels.l2norm_pallas import l2norm_requant
+
+    rng = np.random.default_rng(0)
+    q0 = jnp.asarray(rng.integers(-127, 128, (2, 9, 9, 512), dtype=np.int8))
+    gamma = jnp.asarray(rng.random(512, dtype=np.float32) * 20.0)
+    s0 = 0.137
+    qf = q0.astype(jnp.float32)
+    sq = jnp.sum(jnp.square(qf), axis=-1, keepdims=True)
+    ln = qf * jax.lax.rsqrt(sq + 1e-12) * gamma
+    ref = jnp.clip(jnp.round(ln / s0), -127, 127).astype(jnp.int8)
+
+    got = l2norm_requant(q0, gamma, s0, interpret=True)
+    # Folded gamma/s0 can flip round() on exact .5 boundaries — allow
+    # off-by-one on a vanishing fraction, zero tolerance otherwise.
+    diff = np.abs(np.asarray(got, np.int32) - np.asarray(ref, np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
