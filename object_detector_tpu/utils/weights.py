@@ -6,9 +6,12 @@ external artifact: this module converts a torchvision ``state_dict`` (torch
 is baked into the image; weights must be supplied as a local .pth/.npz) into
 our flax param pytrees. Scratch training stays fully supported.
 
-Layouts: torch conv (O, I, kh, kw) -> flax (kh, kw, I, O); linear-as-conv
-fc6/fc7 reshaped accordingly (SSD atrous subsampling not applied — we keep
-the full 1024-wide fc6/fc7 and retrain heads).
+Layouts: torch conv (O, I, kh, kw) -> flax (kh, kw, I, O). When the
+state_dict carries VGG classifier weights, fc6/fc7 are derived via the
+SSD atrous-subsampling recipe (the SSD paper's fc-to-conv conversion):
+fc6 Linear(25088->4096) -> reshape (4096,512,7,7), decimate outputs x4
+and spatial 7->3 (stride 3; dilation-6 conv covers the original taps);
+fc7 Linear(4096->4096) -> 1x1 conv decimated x4 on both sides.
 """
 
 from __future__ import annotations
@@ -32,13 +35,32 @@ _VGG_FEATURE_IDX = {  # torchvision vgg16.features index -> our layer name
 
 
 def vgg16_from_torch(state: Mapping[str, np.ndarray]) -> Dict[str, Any]:
-    """torchvision vgg16 state_dict -> VGG16Backbone params (partial: the
-    conv stack; fc6/fc7 stay randomly initialized unless present)."""
+    """torchvision vgg16 state_dict -> VGG16Backbone params. The conv
+    stack converts directly; fc6/fc7 convert from the classifier weights
+    when present (SSD atrous subsampling), else stay randomly
+    initialized."""
     out: Dict[str, Any] = {}
     for idx, name in _VGG_FEATURE_IDX.items():
         w = np.asarray(state[f"features.{idx}.weight"])
         b = np.asarray(state[f"features.{idx}.bias"])
         out[name] = {"kernel": _t(w), "bias": b}
+    if "classifier.0.weight" in state:
+        # fc6: (4096, 25088) -> (4096, 512, 7, 7) -> decimate out x4,
+        # spatial 7->3 with stride 3 ([0,3,6] — matched by dilation=6 on a
+        # 19x19 grid), -> (3,3,512,1024).
+        w6 = np.asarray(state["classifier.0.weight"]).reshape(4096, 512, 7, 7)
+        w6 = w6[::4, :, ::3, ::3]
+        out["fc6"] = {
+            "kernel": _t(w6),
+            "bias": np.asarray(state["classifier.0.bias"])[::4],
+        }
+    if "classifier.3.weight" in state:
+        # fc7: (4096, 4096) -> 1x1 conv decimated x4 on both sides.
+        w7 = np.asarray(state["classifier.3.weight"])[::4, ::4]
+        out["fc7"] = {
+            "kernel": w7.T[None, None],  # (1, 1, 1024, 1024)
+            "bias": np.asarray(state["classifier.3.bias"])[::4],
+        }
     return out
 
 

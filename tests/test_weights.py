@@ -98,3 +98,35 @@ def test_resnet50_conversion():
     assert "stage1_block1" in params and "proj" in params["stage1_block1"]
     assert "stage4_block3" in params and "proj" not in params["stage4_block3"]
     assert stats["stage2_block1"]["bn2"]["mean"].shape == (128,)
+
+
+def test_vgg16_fc6_fc7_atrous_subsample():
+    """SSD fc->conv conversion: fc6 decimates 4096->1024 outputs and 7x7->3x3
+    spatial taps (stride 3), fc7 decimates both sides of the 4096x4096
+    linear; layouts land as flax HWIO and values trace back to the right
+    source entries."""
+    rng = np.random.default_rng(2)
+    state = {
+        "classifier.0.weight": rng.normal(size=(4096, 25088)).astype(np.float32),
+        "classifier.0.bias": rng.normal(size=(4096,)).astype(np.float32),
+        "classifier.3.weight": rng.normal(size=(4096, 4096)).astype(np.float32),
+        "classifier.3.bias": rng.normal(size=(4096,)).astype(np.float32),
+    }
+    for idx in weights._VGG_FEATURE_IDX:
+        state[f"features.{idx}.weight"] = rng.normal(size=(8, 8, 3, 3)).astype(np.float32)
+        state[f"features.{idx}.bias"] = rng.normal(size=(8,)).astype(np.float32)
+    out = weights.vgg16_from_torch(state)
+    assert out["fc6"]["kernel"].shape == (3, 3, 512, 1024)
+    assert out["fc7"]["kernel"].shape == (1, 1, 1024, 1024)
+    assert out["fc6"]["bias"].shape == (1024,)
+
+    # fc6 kernel[ky,kx,i,o] == classifier.0.weight[4o, i*49 + (3ky)*7 + 3kx]
+    w0 = state["classifier.0.weight"].reshape(4096, 512, 7, 7)
+    np.testing.assert_allclose(
+        out["fc6"]["kernel"][1, 2, 5, 7], w0[28, 5, 3, 6]
+    )
+    np.testing.assert_allclose(out["fc6"]["bias"][3], state["classifier.0.bias"][12])
+    # fc7 kernel[0,0,i,o] == classifier.3.weight[4o, 4i]
+    np.testing.assert_allclose(
+        out["fc7"]["kernel"][0, 0, 9, 2], state["classifier.3.weight"][8, 36]
+    )
