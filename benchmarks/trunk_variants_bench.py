@@ -82,8 +82,17 @@ def main():
         return jax.device_put(qp2)
 
     variant("baseline", lambda sp: sp)
-    variant("conv1_2+pool1 packed", lambda sp: fuse_pool(sp, "backbone/conv1_2"),
-            quant_spec=True)
+    variant(
+        "fused stem (odd-pair conv1_1 + pallas conv1_2+pool)",
+        lambda sp: engine.build_ssd_spec(cfg, fused_stem=True),
+        quant_spec=True,
+    )
+    if "--packed" in sys.argv:
+        variant(
+            "conv1_2+pool1 packed",
+            lambda sp: fuse_pool(sp, "backbone/conv1_2"),
+            quant_spec=True,
+        )
 
 
 if __name__ == "__main__":

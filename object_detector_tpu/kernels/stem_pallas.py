@@ -1,0 +1,280 @@
+"""Fused VGG block-1 stem: conv1_2 + ReLU + requant + 2x2/s2 max-pool as
+one Pallas kernel over a pixel-pair-packed conv1_1 output.
+
+Why (r2 profile, benchmarks/profile_int8.py): block-1 is 5.8 ms of the
+20.3 ms SSD-300 int8 program — conv1_2 sits AT the 50%-MXU-lane ceiling
+(64 output channels), conv1_1 underfills K (Cin=3), and pool1 pays a full
+369 MB round-trip. The fix is a layout change plus a kernel:
+
+1.  conv1_1 runs as an XLA conv with kernel (3,4), stride (1,2), and
+    DOUBLED output channels ("odd-pair packing"): output position
+    (R, J, n*64+o) holds conv1_1 at pixel row R-1, column 2J-1+n —
+    adjacent odd/even columns land in channel groups. Full 128 output
+    lanes (vs 64), kernel picked so the emitted tensor already carries
+    the +-1 row/column halo conv1_2 needs (no pad pass).
+2.  This kernel computes conv1_2 on that layout as SIX zero-copy
+    "flat-shift" dots per band — (M,128)@(128,128) at 75% effective MXU
+    utilization (the odd-pair alignment makes each output pair's 4-pixel
+    window exactly 2 input pairs; 25% structural zeros) — then fuses
+    dequant + bias + ReLU + requant and the 2x2/s2 max pool in VMEM.
+    The 369 MB conv1_2 activation never touches HBM.
+
+Exactness: same int8 MACs in int32, same f32 epilogue as the unfused
+engine path; pool commutes with the (monotone) requant. Parity test:
+tests/test_quant.py::test_fused_stem_matches_unfused.
+
+STATUS (r2, v5e-1 measurements): the kernel itself beats XLA's
+conv1_2+pool pair (3.1 vs 4.1 ms at bs=64), but the pair-packed conv1_1
+producer has not yet matched the plain conv1_1 (XLA fails to fuse the
+requant epilogue into the packed-conv variants, materializing the s32
+accumulator), so the full fused stem measures ~18.3 vs 15.9 ms trunk —
+OFF by default (build_ssd_spec(fused_stem=False)) until the producer is
+fixed. All parity tests pass either way.
+
+Weight packing helpers live here so the quant engine and tests share one
+source of truth.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Weight packing
+# ---------------------------------------------------------------------------
+
+def pack_conv11_pair(w1: np.ndarray) -> np.ndarray:
+    """(3,3,Cin,C) conv1_1 kernel -> (3,2,2*Cin,2C) odd-pair kernel over
+    the pair-column input reshape.
+
+    The input image is viewed as (B,H,W/2,2*Cin) — adjacent column pairs
+    merged into channels (a pure reshape) — so the pair-packed conv1_1 is
+    a NORMAL stride-1 conv (XLA fuses the requant epilogue into it; the
+    stride-2 formulation materialized a 1.5 GB s32 accumulator to HBM).
+    Output channel n*C+o is conv1_1 channel o at column 2J-1+n of pair J:
+    W1r[ky, kxp, m*Cin+i, n*C+o] = W1[ky, 2*kxp+m-n, i, o]
+    (zero outside 0 <= kx <= 2).
+    """
+    kh, kw, cin, cout = w1.shape
+    assert (kh, kw) == (3, 3)
+    out = np.zeros((3, 2, 2 * cin, 2 * cout), w1.dtype)
+    for kxp in range(2):
+        for m in range(2):
+            for n in range(2):
+                kx = 2 * kxp + m - n
+                if 0 <= kx <= 2:
+                    out[:, kxp, m * cin : (m + 1) * cin,
+                        n * cout : (n + 1) * cout] = w1[:, kx]
+    return out
+
+
+def pack_conv12_pair(w2: np.ndarray) -> np.ndarray:
+    """(3,3,64,64) conv1_2 kernel -> (6, 128, 128) shift-dot weights.
+
+    Dot t = 2*ky + kJ contracts input pair J=u+kJ (channel n*64+o =
+    x1 column 2(u+kJ)-1+n) against output pair u (channel m*64+p =
+    y2 column 2u+m): W2pp[t, n*64+o, m*64+p] = W2[ky, 2kJ+n-m, o, p]
+    (zero outside 0<=kx<=2 — exactly 25% structural zeros).
+    """
+    kh, kw, cin, cout = w2.shape
+    assert (kh, kw) == (3, 3) and cin == cout
+    out = np.zeros((6, 2 * cin, 2 * cout), w2.dtype)
+    for ky in range(3):
+        for kj in range(2):
+            t = 2 * ky + kj
+            for n in range(2):
+                for m in range(2):
+                    kx = 2 * kj + n - m
+                    if 0 <= kx <= 2:
+                        out[t, n * cin : (n + 1) * cin,
+                            m * cout : (m + 1) * cout] = w2[ky, kx]
+    return out
+
+
+def stem_band_rows(h: int) -> int:
+    """Largest supported band size (conv1_2 rows per grid step) dividing
+    the image height: 300 -> 20, 512 -> 16."""
+    for band in (20, 16, 12, 8, 4, 2):
+        if h % band == 0:
+            return band
+    raise ValueError(f"stem kernel needs an even image height, got {h}")
+
+
+def stem_halo_mask(h: int, w: int) -> np.ndarray:
+    """(1, H+2, W//2+2, 128) bool: True where the odd-pair tensor holds a
+    REAL conv1_1 output. Halo rows/columns must be zero CODES (conv1_2's
+    zero padding), but the strided conv computes partial sums + bias
+    there — the requant epilogue multiplies by this mask."""
+    jp = w // 2 + 2
+    rows_ok = np.zeros((h + 2, 1, 1), bool)
+    rows_ok[1 : h + 1] = True
+    col = 2 * np.arange(jp)[:, None] + (np.arange(128)[None, :] >= 64) - 1
+    cols_ok = (col >= 0) & (col < w)
+    return (rows_ok & cols_ok[None])[None]
+
+
+def conv11_pair_acc(x: Array, w1r: Array) -> Array:
+    """Input (B,H,W,Cin) -> odd-pair conv1_1 accumulator
+    (B, H+2, W//2+2, 128) in int32 (or f32 for float x), WITH the row and
+    pair-column halo conv1_2 needs. Implemented as a stride-1 conv over
+    the pair-column reshape so XLA's good emitter (with epilogue fusion)
+    handles it."""
+    b, h, w, cin = x.shape
+    xr = x.reshape(b, h, w // 2, 2 * cin)
+    dn = jax.lax.conv_dimension_numbers(
+        xr.shape, w1r.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    acc_t = jnp.int32 if x.dtype == jnp.int8 else jnp.float32
+    return jax.lax.conv_general_dilated(
+        xr, w1r, (1, 1), [(2, 2), (1, 2)],
+        dimension_numbers=dn, preferred_element_type=acc_t,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas conv1_2 + pool kernel
+# ---------------------------------------------------------------------------
+
+def _stem_kernel(
+    x_hbm,  # ANY (B, H+2, Jp, 128) s8 odd-pair conv1_1 codes (halo'd)
+    w_ref,  # VMEM (6, 128, 128) s8 packed conv1_2
+    deq_ref,  # VMEM (1, 128) f32 per-channel dequant (x scale included)
+    bias_ref,  # VMEM (1, 128) f32
+    scale_ref,  # SMEM (1, 1) f32 requant (output activation) scale
+    out_ref,  # VMEM block (1, P, Wp/2... see launcher) s8 pooled output
+    x_vmem,  # scratch (2R+2, Jp, 128) s8
+    sem,
+    *,
+    rows: int,  # conv1_2 output rows per band (= 2 * pool rows)
+    jp: int,  # padded pair count (x1pp width)
+):
+    b = pl.program_id(0)
+    band = pl.program_id(1)
+    n_bands = pl.num_programs(1)
+    # DMA the band's rows (+1 halo each side) into VMEM. The scratch has
+    # one extra (garbage) row: the ky=2,kj=1 tap's flat slice reaches one
+    # row past the halo for wrap-junk output columns (sliced off later),
+    # and the slice itself must stay in bounds.
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(band * rows, rows + 2)],
+        x_vmem.at[pl.ds(0, rows + 2)],
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    # Zero the halo IN VMEM (tiny slices) instead of masking the whole
+    # x1pp tensor at the XLA level (a separate 2.7 ms broadcast-select
+    # pass at bs=64): the strided conv1_1 emits partial sums + bias at
+    # halo positions, but conv1_2's zero padding needs zero CODES there.
+    zero_col = jnp.zeros((rows + 2, 1, 64), jnp.int8)
+    x_vmem[0 : rows + 2, 0:1, 0:64] = zero_col  # pair 0 group n=0: col -1
+    # Right edge: pair jp-2 group n=1 is column w (jp = w//2 + 2), pair
+    # jp-1 is columns w+1, w+2.
+    x_vmem[0 : rows + 2, jp - 2 : jp - 1, 64:128] = zero_col
+    x_vmem[0 : rows + 2, jp - 1 : jp, :] = jnp.zeros(
+        (rows + 2, 1, 128), jnp.int8
+    )
+    zero_row = jnp.zeros((1, jp, 128), jnp.int8)
+
+    @pl.when(band == 0)
+    def _():
+        x_vmem[0:1] = zero_row  # image row -1
+
+    @pl.when(band == n_bands - 1)
+    def _():
+        x_vmem[rows + 1 : rows + 2] = zero_row  # image row H
+
+    flat = x_vmem[:].reshape((rows + 3) * jp, 128)
+    m = rows * jp
+    acc = jnp.zeros((m, 128), jnp.int32)
+    for ky in range(3):
+        for kj in range(2):
+            t = 2 * ky + kj
+            acc += jax.lax.dot_general(
+                flat[ky * jp + kj : ky * jp + kj + m],
+                w_ref[t],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    y = acc.astype(jnp.float32) * deq_ref[:] + bias_ref[:]
+    y = jnp.maximum(y, 0.0)
+    # Pool BEFORE requant, in f32 (Mosaic has no int8 max ops; requant is
+    # monotone so the order is exact): column pairs are the two
+    # 64-channel groups; row pairs are adjacent M rows (regrouped via a
+    # metadata-only reshape).
+    y = jnp.maximum(y[:, :64], y[:, 64:])  # (rows*jp, 64)
+    y = y.reshape(rows // 2, 2, jp, 64)
+    y = jnp.maximum(y[:, 0], y[:, 1])  # (rows//2, jp, 64)
+    out_ref[0] = jnp.clip(
+        jnp.round(y / scale_ref[0, 0]), -127, 127
+    ).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_width", "interpret", "band_rows")
+)
+def conv12_pool_pair(
+    x1pp: Array,  # (B, H+2, Jp, 128) s8 odd-pair conv1_1 codes
+    w2pp: Array,  # (6, 128, 128) s8
+    deq: Array,  # (128,) f32 — cur_scale * w_scale (tiled x2)
+    bias: Array,  # (128,) f32 (tiled x2)
+    out_scale: Array,  # scalar f32 requant scale (traced-safe)
+    out_width: int,  # true pooled width (pairs beyond it are halo junk)
+    interpret: bool | None = None,
+    band_rows: int = 20,
+) -> Array:
+    """Fused conv1_2+relu+requant+pool over the odd-pair layout.
+
+    Returns (B, H//2, out_width, 64) int8 codes.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hp2, jp, c2 = x1pp.shape
+    h = hp2 - 2
+    assert h % band_rows == 0, (h, band_rows)
+    n_bands = h // band_rows
+
+    out = pl.pallas_call(
+        functools.partial(_stem_kernel, rows=band_rows, jp=jp),
+        grid=(b, n_bands),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((6, 128, 128), lambda i, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, r: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, band_rows // 2, jp, 64), lambda i, r: (i, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h // 2, jp, 64), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((band_rows + 3, jp, 128), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        x1pp,
+        w2pp,
+        deq.reshape(1, 128),
+        bias.reshape(1, 128),
+        jnp.asarray(out_scale, jnp.float32).reshape(1, 1),
+    )
+    # Output pair u holds pooled columns (2u, 2u+1); pairs >= out_width
+    # are halo/wrap junk.
+    return out[:, :, :out_width, :]

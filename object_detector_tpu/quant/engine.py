@@ -75,6 +75,18 @@ class PackedConvPoolOp:
 
 
 @dataclasses.dataclass(frozen=True)
+class FusedStemOp:
+    """VGG block-1 (conv1_1 + conv1_2 + pool1) via the odd-pair layout +
+    Pallas fused conv1_2+pool — kernels/stem_pallas.py. Exact (same int32
+    MACs, same f32 epilogue); the 369 MB pre-pool activation never
+    touches HBM and conv1_2 runs at 75% MXU utilization vs the 50%
+    N=64-lane ceiling of the direct conv."""
+
+    path1: str = "backbone/conv1_1"
+    path2: str = "backbone/conv1_2"
+
+
+@dataclasses.dataclass(frozen=True)
 class SaveOp:
     """Save the current activation into a named register (residual input)."""
 
@@ -209,12 +221,20 @@ def fold_resnet50(
     return out
 
 
-def build_ssd_spec(cfg: DetectorConfig) -> Spec:
-    """Op list mirroring models/ssd.py + models/vgg.py exactly (VGG16)."""
+def build_ssd_spec(cfg: DetectorConfig, fused_stem: bool = False) -> Spec:
+    """Op list mirroring models/ssd.py + models/vgg.py exactly (VGG16).
+
+    fused_stem=True swaps block-1 for the FusedStemOp Pallas path
+    (requires image_size divisible by the kernel band size; see
+    stem_band_rows)."""
     if cfg.model.backbone != "vgg16":
         return build_spec(cfg)
-    spec: Spec = [
-        ConvOp("backbone/conv1_1"), ConvOp("backbone/conv1_2"), PoolOp(),
+    block1: Spec = (
+        [FusedStemOp()]
+        if fused_stem
+        else [ConvOp("backbone/conv1_1"), ConvOp("backbone/conv1_2"), PoolOp()]
+    )
+    spec: Spec = block1 + [
         ConvOp("backbone/conv2_1"), ConvOp("backbone/conv2_2"), PoolOp(),
         ConvOp("backbone/conv3_1"), ConvOp("backbone/conv3_2"),
         ConvOp("backbone/conv3_3"), PadToEvenOp(), PoolOp(),
@@ -379,6 +399,20 @@ def run_float(
                 y = jnp.maximum(y, 0.0)
             x = _pool(y.astype(compute_dtype), PoolOp())
             absmax[op.path] = jnp.max(jnp.abs(x))
+        elif isinstance(op, FusedStemOp):
+            # Float reference: conv-relu-conv-relu-pool; absmax recorded
+            # per conv exactly like the unfused spec (relu>=0 so the pool
+            # preserves conv1_2's absmax).
+            for path in (op.path1, op.path2):
+                p = _get_path(params, path)
+                y = _conv(
+                    x, p["kernel"].astype(compute_dtype), ConvOp(path),
+                    jnp.float32,
+                )
+                y = jnp.maximum(y + p["bias"].astype(jnp.float32), 0.0)
+                x = y.astype(compute_dtype)
+                absmax[path] = jnp.max(jnp.abs(x))
+            x = _pool(x, PoolOp())
         elif isinstance(op, SaveOp):
             regs[op.name] = x
         elif isinstance(op, LoadOp):
@@ -463,6 +497,22 @@ def quantize_params(
     w_scale: Dict[str, np.ndarray] = {}
     bias: Dict[str, np.ndarray] = {}
     for op in spec:
+        if isinstance(op, FusedStemOp):
+            from object_detector_tpu.kernels import stem_pallas
+
+            # Per-out-channel quantization of the ORIGINAL kernels, then
+            # pack; packed channel groups reuse the source channel's
+            # scale (tiled x2), so parity with the unfused chain is
+            # exact.
+            w1_q, s1, b1 = _quantize_kernel(_get_path(params, op.path1))
+            w_int8[op.path1] = stem_pallas.pack_conv11_pair(w1_q)
+            w_scale[op.path1] = np.tile(s1, 2)
+            bias[op.path1] = np.tile(b1, 2)
+            w2_q, s2, b2 = _quantize_kernel(_get_path(params, op.path2))
+            w_int8[op.path2] = stem_pallas.pack_conv12_pair(w2_q)
+            w_scale[op.path2] = np.tile(s2, 2)
+            bias[op.path2] = np.tile(b2, 2)
+            continue
         if isinstance(op, PackedConvPoolOp):
             # Quantize the original 3x3 kernel per-out-channel, THEN pack:
             # packed group g channel o reuses scale s[o], so dequant is a
@@ -532,6 +582,32 @@ def run_int8(
             out_scale = qp.act_scale[op.path]
             x = jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
             cur_scale = out_scale
+        elif isinstance(op, FusedStemOp):
+            from object_detector_tpu.kernels import stem_pallas
+
+            b_, h_img, w_img, _ = x.shape
+            acc = stem_pallas.conv11_pair_acc(
+                x, jnp.asarray(qp.w_int8[op.path1])
+            )
+            deq1 = cur_scale * jnp.asarray(qp.w_scale[op.path1])
+            y = acc.astype(jnp.float32) * deq1 + jnp.asarray(qp.bias[op.path1])
+            y = jnp.maximum(y, 0.0)
+            s1 = qp.act_scale[op.path1]
+            # Halo positions hold garbage (partial sums + bias); the
+            # Pallas kernel zeroes them in VMEM after the DMA — an XLA
+            # mask here costs a full 376 MB select pass.
+            q = jnp.clip(jnp.round(y / s1), -127, 127).astype(jnp.int8)
+            s2 = qp.act_scale[op.path2]
+            x = stem_pallas.conv12_pool_pair(
+                q,
+                jnp.asarray(qp.w_int8[op.path2]),
+                s1 * jnp.asarray(qp.w_scale[op.path2]),
+                jnp.asarray(qp.bias[op.path2]),
+                s2,
+                out_width=w_img // 2,
+                band_rows=stem_pallas.stem_band_rows(h_img),
+            )
+            cur_scale = s2
         elif isinstance(op, PackedConvPoolOp):
             # Requant BEFORE the group max: every group shares the same
             # per-channel scale, and x -> clip(round(x/s)) is monotone, so

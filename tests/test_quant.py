@@ -172,3 +172,85 @@ def test_pallas_l2norm_matches_jnp():
     diff = np.abs(np.asarray(got, np.int32) - np.asarray(ref, np.int32))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 1e-3
+
+
+def test_fused_stem_matches_unfused():
+    """Odd-pair conv1_1 + halo mask + Pallas conv1_2+pool == the unfused
+    int8 chain, bit-exact (same int32 MACs, same f32 epilogue, pool
+    commutes with requant). Two band sizes exercise the banding/halo DMA
+    path."""
+    import numpy as np
+
+    from object_detector_tpu.kernels import stem_pallas
+
+    rng = np.random.default_rng(3)
+    B, H, W = 2, 20, 20
+    x_q = jnp.asarray(rng.integers(-9, 10, (B, H, W, 3), dtype=np.int8))
+    w1 = rng.integers(-9, 10, (3, 3, 3, 64)).astype(np.int8)
+    w2 = rng.integers(-9, 10, (3, 3, 64, 64)).astype(np.int8)
+    deq1 = (rng.random(64).astype(np.float32) + 0.5) * 1e-2
+    b1 = rng.normal(size=64).astype(np.float32) * 0.1
+    deq2 = (rng.random(64).astype(np.float32) + 0.5) * 1e-2
+    b2 = rng.normal(size=64).astype(np.float32) * 0.1
+    s1, s2 = 0.043, 0.021
+
+    def conv(x, w):
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, jnp.asarray(w), (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+
+    def requant(acc, deq, b, s):
+        y = jnp.maximum(acc.astype(jnp.float32) * deq + b, 0.0)
+        return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+
+    q1 = requant(conv(x_q, w1), deq1, b1, s1)
+    q2 = requant(conv(q1, w2), deq2, b2, s2)
+    ref = jax.lax.reduce_window(
+        q2, jnp.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+    # Fused path, engine semantics: conv1_1pp epilogue requants with
+    # x2-tiled scales then zeroes the halo.
+    acc1 = stem_pallas.conv11_pair_acc(
+        x_q, jnp.asarray(stem_pallas.pack_conv11_pair(w1))
+    )
+    # UNMASKED codes: halo positions hold garbage; the kernel must zero
+    # them in VMEM itself.
+    q1pp = requant(acc1, np.tile(deq1, 2), np.tile(b1, 2), s1)
+    masked = jnp.where(jnp.asarray(stem_pallas.stem_halo_mask(H, W)), q1pp, 0)
+
+    # Layout: pair J holds conv1_1 columns (2J-1, 2J) in channel groups.
+    np.testing.assert_array_equal(
+        np.asarray(masked[:, 1:-1, 0 : W // 2, 64:]), np.asarray(q1[:, :, 0::2, :])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(masked[:, 1:-1, 1 : W // 2 + 1, :64]), np.asarray(q1[:, :, 1::2, :])
+    )
+
+    for band_rows in (20, 10):
+        got = stem_pallas.conv12_pool_pair(
+            q1pp,
+            jnp.asarray(stem_pallas.pack_conv12_pair(w2)),
+            jnp.asarray(np.tile(deq2, 2)),
+            jnp.asarray(np.tile(b2, 2)),
+            jnp.float32(s2),
+            out_width=W // 2,
+            interpret=True,
+            band_rows=band_rows,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+def test_fused_stem_spec_full_trunk_parity(setup):
+    """run_int8 over the fused-stem spec == the unfused spec, end to end
+    through the whole trunk (bit-exact block-1, identical downstream)."""
+    cfg, model, params, x = setup
+    spec_a = engine.build_ssd_spec(cfg)
+    spec_b = engine.build_ssd_spec(cfg, fused_stem=True)
+    qp_a, _ = engine.quantize_ssd(cfg, params, [x], spec=spec_a)
+    qp_b, _ = engine.quantize_ssd(cfg, params, [x], spec=spec_b)
+    cls_a, box_a = engine.int8_forward(qp_a, spec_a, cfg, x)
+    cls_b, box_b = engine.int8_forward(qp_b, spec_b, cfg, x)
+    np.testing.assert_array_equal(np.asarray(cls_a), np.asarray(cls_b))
+    np.testing.assert_array_equal(np.asarray(box_a), np.asarray(box_b))
