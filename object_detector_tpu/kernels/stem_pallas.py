@@ -66,7 +66,11 @@ def pack_conv11_pair(w1: np.ndarray) -> np.ndarray:
     """
     kh, kw, cin, cout = w1.shape
     assert (kh, kw) == (3, 3)
-    out = np.zeros((3, 2, 2 * cin, 2 * cout), w1.dtype)
+    # kw_packed=3 appends an all-zero kx-plane: same math, 1.5x the MACs,
+    # but a square window can select a different (fusing) XLA emitter —
+    # A/B knob for the producer-fusion problem.
+    kw_packed = 3 if _SQUARE_W1 else 2
+    out = np.zeros((3, kw_packed, 2 * cin, 2 * cout), w1.dtype)
     for kxp in range(2):
         for m in range(2):
             for n in range(2):
@@ -75,6 +79,9 @@ def pack_conv11_pair(w1: np.ndarray) -> np.ndarray:
                     out[:, kxp, m * cin : (m + 1) * cin,
                         n * cout : (n + 1) * cout] = w1[:, kx]
     return out
+
+
+_SQUARE_W1 = False  # see pack_conv11_pair
 
 
 def pack_conv12_pair(w2: np.ndarray) -> np.ndarray:
@@ -134,8 +141,9 @@ def conv11_pair_acc(x: Array, w1r: Array) -> Array:
         xr.shape, w1r.shape, ("NHWC", "HWIO", "NHWC")
     )
     acc_t = jnp.int32 if x.dtype == jnp.int8 else jnp.float32
+    pad_w = (1, 2) if w1r.shape[1] == 2 else (1, 3)
     return jax.lax.conv_general_dilated(
-        xr, w1r, (1, 1), [(2, 2), (1, 2)],
+        xr, w1r, (1, 1), [(2, 2), pad_w],
         dimension_numbers=dn, preferred_element_type=acc_t,
     )
 
