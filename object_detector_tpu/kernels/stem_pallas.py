@@ -23,13 +23,18 @@ Exactness: same int8 MACs in int32, same f32 epilogue as the unfused
 engine path; pool commutes with the (monotone) requant. Parity test:
 tests/test_quant.py::test_fused_stem_matches_unfused.
 
-STATUS (r2, v5e-1 measurements): the kernel itself beats XLA's
-conv1_2+pool pair (3.1 vs 4.1 ms at bs=64), but the pair-packed conv1_1
-producer has not yet matched the plain conv1_1 (XLA fails to fuse the
-requant epilogue into the packed-conv variants, materializing the s32
-accumulator), so the full fused stem measures ~18.3 vs 15.9 ms trunk —
-OFF by default (build_ssd_spec(fused_stem=False)) until the producer is
-fixed. All parity tests pass either way.
+STATUS (r2, v5e-1, bs=64): ON by default for TPU (engine.build_spec
+auto). Fused trunk 15.0 ms vs 15.9 unfused. Breakdown: pair conv1_1
+0.88 ms (vs 1.70 plain — full 128 output lanes), kernel 2.86 ms (vs
+2.79 conv1_2 + 1.29 pool1), remaining ~1.0 ms is the output-side
+layout seam (slice of the duplicated channel half + relayout into
+conv2_1's input layout) — the known next lever. The decisive fix was
+operand-layout matching: pallas defaults to row-major operand layouts
+while XLA's conv emitters produce {3,0,2,1}, which both blocked the
+conv's requant-epilogue fusion and forced a 1.5 GB s32 relayout; the
+logically-transposed (row, pair, batch, channel) interface makes the
+transposes bitcasts. Batch is tiled in sublanes, so each program
+handles 8 images and all tap offsets are 8-aligned.
 
 Weight packing helpers live here so the quant engine and tests share one
 source of truth.
@@ -108,9 +113,10 @@ def pack_conv12_pair(w2: np.ndarray) -> np.ndarray:
 
 
 def stem_band_rows(h: int) -> int:
-    """Largest supported band size (conv1_2 rows per grid step) dividing
-    the image height: 300 -> 20, 512 -> 16."""
-    for band in (20, 16, 12, 8, 4, 2):
+    """Band size (conv1_2 rows per grid step) dividing the image height:
+    300 -> 6, 512 -> 8. Sized for the 8-batch-per-program kernel's VMEM
+    budget (int32 accumulator = rows * jp * 8 * 512 B)."""
+    for band in (8, 6, 4, 2):
         if h % band == 0:
             return band
     raise ValueError(f"stem kernel needs an even image height, got {h}")
@@ -153,19 +159,31 @@ def conv11_pair_acc(x: Array, w1r: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 def _stem_kernel(
-    x_hbm,  # ANY (B, H+2, Jp, 128) s8 odd-pair conv1_1 codes (halo'd)
+    x_hbm,  # ANY (H+2, Jp, B, 128) s8 odd-pair conv1_1 codes (halo'd)
     w_ref,  # VMEM (6, 128, 128) s8 packed conv1_2
     deq_ref,  # VMEM (1, 128) f32 per-channel dequant (x scale included)
     bias_ref,  # VMEM (1, 128) f32
     scale_ref,  # SMEM (1, 1) f32 requant (output activation) scale
-    out_ref,  # VMEM block (1, P, Wp/2... see launcher) s8 pooled output
-    x_vmem,  # scratch (2R+2, Jp, 128) s8
+    out_hbm,  # ANY (H/2, Jp, B, 128) s8 pooled output (manual DMA)
+    x_vmem,  # scratch (rows+3, Jp, nb, 128) s8
+    out_vmem,  # scratch (rows//2, Jp, nb, 128) s8
     sem,
+    out_sem,
     *,
     rows: int,  # conv1_2 output rows per band (= 2 * pool rows)
     jp: int,  # padded pair count (x1pp width)
+    nb: int,  # batch elements per program (8 = one sublane tile)
 ):
-    b = pl.program_id(0)
+    # NOTE on shapes: the tensors are LOGICALLY transposed to
+    # (row, pair, batch, channel) so that the default pallas operand
+    # layout coincides with the physical layout XLA's conv emitter picks
+    # ({3,0,2,1} on the NHWC form) — otherwise XLA inserts a full s32
+    # relayout copy between the conv and this kernel and cannot fuse the
+    # requant epilogue into the conv (measured: +2.7 ms at bs=64). The
+    # physical tiling places BATCH in sublanes, so each program handles
+    # nb=8 batch elements (tile-aligned slices; every tap offset becomes
+    # a multiple of 8 — no misaligned operand slices at all).
+    g = pl.program_id(0)
     band = pl.program_id(1)
     n_bands = pl.num_programs(1)
     # DMA the band's rows (+1 halo each side) into VMEM. The scratch has
@@ -173,26 +191,22 @@ def _stem_kernel(
     # row past the halo for wrap-junk output columns (sliced off later),
     # and the slice itself must stay in bounds.
     copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(band * rows, rows + 2)],
+        x_hbm.at[pl.ds(band * rows, rows + 2), :, pl.ds(g * nb, nb)],
         x_vmem.at[pl.ds(0, rows + 2)],
         sem,
     )
     copy.start()
     copy.wait()
 
-    # Zero the halo IN VMEM (tiny slices) instead of masking the whole
-    # x1pp tensor at the XLA level (a separate 2.7 ms broadcast-select
-    # pass at bs=64): the strided conv1_1 emits partial sums + bias at
-    # halo positions, but conv1_2's zero padding needs zero CODES there.
-    zero_col = jnp.zeros((rows + 2, 1, 64), jnp.int8)
-    x_vmem[0 : rows + 2, 0:1, 0:64] = zero_col  # pair 0 group n=0: col -1
-    # Right edge: pair jp-2 group n=1 is column w (jp = w//2 + 2), pair
-    # jp-1 is columns w+1, w+2.
-    x_vmem[0 : rows + 2, jp - 2 : jp - 1, 64:128] = zero_col
-    x_vmem[0 : rows + 2, jp - 1 : jp, :] = jnp.zeros(
-        (rows + 2, 1, 128), jnp.int8
+    # Zero halo positions. Full-channel slices are zeroed here in VMEM
+    # (cheap; Mosaic allows full-lane-tile stores); the two HALF-channel
+    # column groups (pair 0 group n=0 = column -1, pair jp-2 group n=1 =
+    # column w) are zeroed by the launcher with thin in-place XLA updates
+    # (sub-128-lane VMEM stores don't lower).
+    x_vmem[0 : rows + 2, jp - 1 : jp, :, :] = jnp.zeros(
+        (rows + 2, 1, nb, 128), jnp.int8
     )
-    zero_row = jnp.zeros((1, jp, 128), jnp.int8)
+    zero_row = jnp.zeros((1, jp, nb, 128), jnp.int8)
 
     @pl.when(band == 0)
     def _():
@@ -202,14 +216,15 @@ def _stem_kernel(
     def _():
         x_vmem[rows + 1 : rows + 2] = zero_row  # image row H
 
-    flat = x_vmem[:].reshape((rows + 3) * jp, 128)
-    m = rows * jp
+    flat = x_vmem[:].reshape((rows + 3) * jp * nb, 128)
+    m = rows * jp * nb
     acc = jnp.zeros((m, 128), jnp.int32)
     for ky in range(3):
         for kj in range(2):
             t = 2 * ky + kj
+            off = (ky * jp + kj) * nb
             acc += jax.lax.dot_general(
-                flat[ky * jp + kj : ky * jp + kj + m],
+                flat[off : off + m],
                 w_ref[t],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -220,12 +235,25 @@ def _stem_kernel(
     # monotone so the order is exact): column pairs are the two
     # 64-channel groups; row pairs are adjacent M rows (regrouped via a
     # metadata-only reshape).
-    y = jnp.maximum(y[:, :64], y[:, 64:])  # (rows*jp, 64)
-    y = y.reshape(rows // 2, 2, jp, 64)
-    y = jnp.maximum(y[:, 0], y[:, 1])  # (rows//2, jp, 64)
-    out_ref[0] = jnp.clip(
-        jnp.round(y / scale_ref[0, 0]), -127, 127
-    ).astype(jnp.int8)
+    y = jnp.maximum(y[:, :64], y[:, 64:])  # (rows*jp*nb, 64)
+    y = y.reshape(rows // 2, 2, jp * nb, 64)
+    y = jnp.maximum(y[:, 0], y[:, 1])  # (rows//2, jp*nb, 64)
+    q = jnp.clip(jnp.round(y / scale_ref[0, 0]), -127, 127).astype(jnp.int8)
+    q = q.reshape(rows // 2, jp, nb, 64)
+    # Output channel dim padded to 128 (duplicate halves): a 64-lane HBM
+    # DMA slice doesn't lower; the launcher's transpose-back fuses the
+    # :64 slice.
+    out_vmem[:, :, :, 0:64] = q
+    out_vmem[:, :, :, 64:128] = q
+    out_copy = pltpu.make_async_copy(
+        out_vmem,
+        out_hbm.at[
+            pl.ds(band * (rows // 2), rows // 2), :, pl.ds(g * nb, nb)
+        ],
+        out_sem,
+    )
+    out_copy.start()
+    out_copy.wait()
 
 
 @functools.partial(
@@ -243,7 +271,10 @@ def conv12_pool_pair(
 ) -> Array:
     """Fused conv1_2+relu+requant+pool over the odd-pair layout.
 
-    Returns (B, H//2, out_width, 64) int8 codes.
+    Returns (B, H//2, out_width, 64) int8 codes. Internally operates on
+    the (row, pair, batch, channel) logical transpose of both input and
+    output so the pallas operand layouts match XLA's conv layouts on both
+    sides (free bitcast-transposes; see _stem_kernel NOTE).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -251,10 +282,18 @@ def conv12_pool_pair(
     h = hp2 - 2
     assert h % band_rows == 0, (h, band_rows)
     n_bands = h // band_rows
+    nb = 8 if b % 8 == 0 else 1  # batch sublane tile (TPU needs 8)
 
+    # Thin in-place updates for the two half-channel halo columns (see
+    # _stem_kernel halo note) — XLA lowers these as in-place
+    # dynamic-update-slices on the conv's output buffer, not full-tensor
+    # masks.
+    x1pp = x1pp.at[:, :, 0, 0:64].set(0)  # pair 0 n=0: column -1
+    x1pp = x1pp.at[:, :, jp - 2, 64:128].set(0)  # pair jp-2 n=1: column w
+    x_t = jnp.transpose(x1pp, (1, 2, 0, 3))  # (H+2, Jp, B, 128)
     out = pl.pallas_call(
-        functools.partial(_stem_kernel, rows=band_rows, jp=jp),
-        grid=(b, n_bands),
+        functools.partial(_stem_kernel, rows=band_rows, jp=jp, nb=nb),
+        grid=(b // nb, n_bands),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((6, 128, 128), lambda i, r: (0, 0, 0),
@@ -266,23 +305,24 @@ def conv12_pool_pair(
             pl.BlockSpec((1, 1), lambda i, r: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, band_rows // 2, jp, 64), lambda i, r: (i, r, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h // 2, jp, 64), jnp.int8),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((h // 2, jp, b, 128), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((band_rows + 3, jp, 128), jnp.int8),
+            pltpu.VMEM((band_rows + 3, jp, nb, 128), jnp.int8),
+            pltpu.VMEM((band_rows // 2, jp, nb, 128), jnp.int8),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(
-        x1pp,
+        x_t,
         w2pp,
         deq.reshape(1, 128),
         bias.reshape(1, 128),
         jnp.asarray(out_scale, jnp.float32).reshape(1, 1),
     )
-    # Output pair u holds pooled columns (2u, 2u+1); pairs >= out_width
-    # are halo/wrap junk.
-    return out[:, :, :out_width, :]
+    # Back to NHWC (layout-propagated, not a data copy when the consumer
+    # conv picks the matching physical layout), dropping the duplicated
+    # channel half. Output pair u holds pooled columns (2u, 2u+1); pairs
+    # >= out_width are halo/wrap junk.
+    return jnp.transpose(out[..., :64], (2, 0, 1, 3))[:, :, :out_width, :]

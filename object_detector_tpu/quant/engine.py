@@ -136,10 +136,20 @@ def _extras_spec(cfg: DetectorConfig, n_taps_so_far: int) -> Spec:
     return spec
 
 
-def build_spec(cfg: DetectorConfig) -> Spec:
-    """Op list for the configured SSD trunk (VGG16 or ResNet-50)."""
+def build_spec(cfg: DetectorConfig, fused_stem: Optional[bool] = None) -> Spec:
+    """Op list for the configured SSD trunk (VGG16 or ResNet-50).
+
+    fused_stem=None resolves to True on TPU for VGG16 (the Pallas fused
+    block-1 measured 15.0 vs 15.9 ms trunk at bs=64; bit-exact parity
+    with the unfused spec is test-enforced, so specs are interchangeable
+    across backends/checkpoints)."""
     if cfg.model.backbone == "vgg16":
-        return build_ssd_spec(cfg)
+        if fused_stem is None:
+            fused_stem = (
+                jax.default_backend() == "tpu"
+                and cfg.model.image_size % 2 == 0
+            )
+        return build_ssd_spec(cfg, fused_stem=fused_stem)
     if cfg.model.backbone == "resnet50":
         return build_resnet_ssd_spec(cfg)
     raise NotImplementedError(f"int8 engine: unknown backbone {cfg.model.backbone}")
@@ -503,15 +513,23 @@ def quantize_params(
             # Per-out-channel quantization of the ORIGINAL kernels, then
             # pack; packed channel groups reuse the source channel's
             # scale (tiled x2), so parity with the unfused chain is
-            # exact.
+            # exact. Plain kernels ride along under "#plain" for the
+            # batch%8!=0 fallback (the TPU kernel tiles batch in
+            # sublanes).
             w1_q, s1, b1 = _quantize_kernel(_get_path(params, op.path1))
             w_int8[op.path1] = stem_pallas.pack_conv11_pair(w1_q)
             w_scale[op.path1] = np.tile(s1, 2)
             bias[op.path1] = np.tile(b1, 2)
+            w_int8[op.path1 + "#plain"] = w1_q
+            w_scale[op.path1 + "#plain"] = s1
+            bias[op.path1 + "#plain"] = b1
             w2_q, s2, b2 = _quantize_kernel(_get_path(params, op.path2))
             w_int8[op.path2] = stem_pallas.pack_conv12_pair(w2_q)
             w_scale[op.path2] = np.tile(s2, 2)
             bias[op.path2] = np.tile(b2, 2)
+            w_int8[op.path2 + "#plain"] = w2_q
+            w_scale[op.path2 + "#plain"] = s2
+            bias[op.path2 + "#plain"] = b2
             continue
         if isinstance(op, PackedConvPoolOp):
             # Quantize the original 3x3 kernel per-out-channel, THEN pack:
@@ -586,6 +604,28 @@ def run_int8(
             from object_detector_tpu.kernels import stem_pallas
 
             b_, h_img, w_img, _ = x.shape
+            if b_ % 8 != 0 and jax.default_backend() == "tpu":
+                # The TPU kernel tiles batch in sublanes (8 per program);
+                # odd batches run the equivalent unfused chain on the
+                # plain weights (bit-exact either way).
+                for path in (op.path1, op.path2):
+                    cop = ConvOp(path)
+                    acc = _conv(
+                        x, jnp.asarray(qp.w_int8[path + "#plain"]), cop,
+                        jnp.int32,
+                    )
+                    deq = cur_scale * jnp.asarray(qp.w_scale[path + "#plain"])
+                    y = acc.astype(jnp.float32) * deq + jnp.asarray(
+                        qp.bias[path + "#plain"]
+                    )
+                    y = jnp.maximum(y, 0.0)
+                    out_scale = qp.act_scale[path]
+                    x = jnp.clip(jnp.round(y / out_scale), -127, 127).astype(
+                        jnp.int8
+                    )
+                    cur_scale = out_scale
+                x = _pool(x, PoolOp())
+                continue
             acc = stem_pallas.conv11_pair_acc(
                 x, jnp.asarray(qp.w_int8[op.path1])
             )
