@@ -69,7 +69,7 @@ def _nms_kernel(
         s = jnp.max(remaining, axis=1, keepdims=True)  # (R, 1)
         idx = jnp.argmax(remaining, axis=1).reshape(rows, 1)  # (R, 1)
         valid = s > score_threshold  # (R, 1) bool
-        onehot = (col_ids == idx).astype(jnp.float32)  # (R, k)
+        onehot = col_ids == idx  # (R, k) bool
         # Compact emit: slot j of the survivor list takes this winner's
         # (score, column) — lane-select into loop-carried accumulators
         # (Mosaic cannot store at a dynamic lane index). The merge then
@@ -78,22 +78,23 @@ def _nms_kernel(
         hit = (out_iota == j) & valid  # (R, max_out)
         acc_s = jnp.where(hit, s, acc_s)
         acc_c = jnp.where(hit, idx, acc_c)
-        # Winner coordinates per row via masked reduce; the winner's area
-        # follows from its corners (saves a 5th full-plane multiply+reduce
-        # per sequential step).
-        wx1 = jnp.sum(x1 * onehot, axis=1, keepdims=True)
-        wy1 = jnp.sum(y1 * onehot, axis=1, keepdims=True)
-        wx2 = jnp.sum(x2 * onehot, axis=1, keepdims=True)
-        wy2 = jnp.sum(y2 * onehot, axis=1, keepdims=True)
+        # Winner coordinates per row via masked reduce (dynamic lane
+        # gathers don't lower in Mosaic for these shapes); the winner's
+        # area follows from its corners.
+        onehot_f = onehot.astype(jnp.float32)
+        wx1 = jnp.sum(x1 * onehot_f, axis=1, keepdims=True)
+        wy1 = jnp.sum(y1 * onehot_f, axis=1, keepdims=True)
+        wx2 = jnp.sum(x2 * onehot_f, axis=1, keepdims=True)
+        wy2 = jnp.sum(y2 * onehot_f, axis=1, keepdims=True)
         w_area = jnp.maximum(wx2 - wx1, 0.0) * jnp.maximum(wy2 - wy1, 0.0)
-        # Winner-vs-all IoU, rows independent.
+        # Winner-vs-all IoU, rows independent; suppression in boolean
+        # masks (no f32 casts on the hot planes).
         iw = jnp.maximum(jnp.minimum(wx2, x2) - jnp.maximum(wx1, x1), 0.0)
         ih = jnp.maximum(jnp.minimum(wy2, y2) - jnp.maximum(wy1, y1), 0.0)
         inter = iw * ih
         union = w_area + area - inter
-        row = (inter > iou_threshold * union).astype(jnp.float32)
-        suppress = jnp.maximum(row, onehot) * valid.astype(jnp.float32)
-        return remaining * (1.0 - suppress), acc_s, acc_c
+        suppress = valid & (onehot | (inter > iou_threshold * union))
+        return jnp.where(suppress, 0.0, remaining), acc_s, acc_c
 
     def body(j, carry):
         # Early-exit shortcut: once every row's candidates fall below the
