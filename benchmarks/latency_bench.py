@@ -17,6 +17,17 @@ import numpy as np
 
 
 def main():
+    if "--json" in sys.argv and jax.default_backend() != "tpu":
+        # bench.py probes latency unconditionally (before it knows its own
+        # backend); don't burn minutes on a CPU forward loop.
+        import json
+
+        print(json.dumps({
+            "p50_latency_ms_bs1": None,
+            "latency_skipped": f"backend={jax.default_backend()}",
+        }))
+        return
+
     from object_detector_tpu.anchors.priors import ssd_anchors
     from object_detector_tpu.core.config import get_config
     from object_detector_tpu.models.ssd import SSDModel

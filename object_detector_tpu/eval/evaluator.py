@@ -48,16 +48,21 @@ def make_int8_predict_fn(
     calib = aug_ops.normalize(
         jnp.asarray(calibration_images_u8).astype(jnp.float32) / 255.0
     )
-    qp, spec = qengine.quantize_ssd(
-        cfg, variables["params"], [calib],
-        batch_stats=variables.get("batch_stats"),
-    )
+    if cfg.model.family == "retinanet":
+        qp, spec = qengine.quantize_retinanet(cfg, variables, [calib])
+        forward = qengine.retinanet_int8_forward
+    else:
+        qp, spec = qengine.quantize_ssd(
+            cfg, variables["params"], [calib],
+            batch_stats=variables.get("batch_stats"),
+        )
+        forward = qengine.int8_forward
     qp = jax.device_put(qp)
 
     @jax.jit
     def predict(images_u8):
         images = aug_ops.normalize(images_u8.astype(jnp.float32) / 255.0)
-        cls_logits, box_offsets = qengine.int8_forward(qp, spec, cfg, images)
+        cls_logits, box_offsets = forward(qp, spec, cfg, images)
         return postprocess(cls_logits, box_offsets, anchors_const, cfg, use_pallas)
 
     return predict

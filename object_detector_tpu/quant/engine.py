@@ -441,6 +441,24 @@ def _num_taps(spec: Spec) -> int:
     return sum(1 for op in spec if isinstance(op, TapOp))
 
 
+def required_scale_keys(spec: Spec, use_l2norm: bool = False) -> set:
+    """Activation-scale keys `run_int8` will look up for this spec.
+
+    Used by benches/tools to validate a cached calibration fixture before
+    trusting it (missing keys would crash mid-compile; stale extras are
+    harmless). Fused/packed ops record absmax under the ORIGINAL conv
+    paths, so fused and unfused specs share a key set by construction."""
+    keys = {"__input__"}
+    for op in spec:
+        if isinstance(op, (ConvOp, PackedConvPoolOp)):
+            keys.add(op.path)
+        elif isinstance(op, FusedStemOp):
+            keys.update((op.path1, op.path2))
+    if use_l2norm:
+        keys.add("__l2norm__")
+    return keys
+
+
 # --------------------------------------------------------------------------
 # Quantization
 # --------------------------------------------------------------------------
@@ -835,31 +853,192 @@ def float_forward(
 
 
 # --------------------------------------------------------------------------
-# RetinaNet: int8 ResNet trunk + float FPN/heads
+# RetinaNet: int8 ResNet trunk + int8 FPN + int8 shared heads
 # --------------------------------------------------------------------------
+#
+# r3 (VERDICT r2 item #5): the FPN and the shared 4-conv heads are ~77% of
+# RetinaNet's FLOPs (the head subnets run at every pyramid level); leaving
+# them float capped the family at 951 img/s/chip. The int8 dataflow:
+#
+#   laterals (1x1, int8) -> f32 upsample-adds (exact) -> requant ->
+#   smooths (3x3, int8) -> requant -> P3..P5 ; P6/P7 stride-2 int8 convs
+#   (relu on int8 codes — requant is monotone) ; heads: shared int8
+#   weights, PER-LEVEL activation scales for every intermediate, final
+#   out-conv emits f32 logits (no requant — full head quality).
+#
+# The float calibration runner below mirrors this dataflow node-for-node
+# and is parity-tested against the flax modules, so absmax is recorded at
+# exactly the tensors the int8 path requants.
+
+_FPN_LEVELS = ("P3", "P4", "P5", "P6", "P7")
+
+
+def _fpn_upsample2x(x: Array) -> Array:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def fpn_head_conv_paths(cfg: DetectorConfig) -> List[str]:
+    """Every conv param path of the FPN + shared heads (weight-quant set)."""
+    paths = [f"fpn/lateral{i}" for i in (3, 4, 5)]
+    paths += [f"fpn/smooth{i}" for i in (3, 4, 5)]
+    paths += ["fpn/p6", "fpn/p7"]
+    for head in ("cls_head", "box_head"):
+        paths += [f"{head}/conv{i}" for i in range(cfg.model.head_depth)]
+        paths.append(f"{head}/out")
+    return paths
+
+
+def run_float_fpn_heads(
+    params: Dict[str, Any], cfg: DetectorConfig, taps: List[Array],
+) -> Tuple[Array, Array, Dict[str, Array]]:
+    """Float FPN + heads mirroring the int8 dataflow; returns
+    (cls_logits, box_offsets, absmax-at-every-requant-point).
+
+    Numerically identical (f32) to the flax FPN/RetinaNetHead modules —
+    parity-tested in tests/test_quant.py."""
+    absmax: Dict[str, Array] = {}
+
+    def conv(x, path, stride=1, k=None):
+        p = _get_path(params, path)
+        op = ConvOp(path, kernel=k or p["kernel"].shape[0], stride=stride)
+        y = _conv(x, p["kernel"].astype(jnp.float32), op, jnp.float32)
+        return y + p["bias"].astype(jnp.float32)
+
+    c3, c4, c5 = [t.astype(jnp.float32) for t in taps]
+    pre5 = conv(c5, "fpn/lateral5")
+    pre4 = conv(c4, "fpn/lateral4") + _fpn_upsample2x(pre5)
+    pre3 = conv(c3, "fpn/lateral3") + _fpn_upsample2x(pre4)
+    pres = {"P3": pre3, "P4": pre4, "P5": pre5}
+    pyramid: Dict[str, Array] = {}
+    for lvl in ("P3", "P4", "P5"):
+        absmax[f"fpn/pre{lvl[1]}"] = jnp.max(jnp.abs(pres[lvl]))
+        pyramid[lvl] = conv(pres[lvl], f"fpn/smooth{lvl[1]}")
+    p6 = conv(c5, "fpn/p6", stride=2)
+    pyramid["P6"] = p6
+    pyramid["P7"] = conv(jnp.maximum(p6, 0.0), "fpn/p7", stride=2)
+    for lvl in _FPN_LEVELS:
+        absmax[f"fpn/{lvl}"] = jnp.max(jnp.abs(pyramid[lvl]))
+
+    outs = {"cls_head": [], "box_head": []}
+    for head in ("cls_head", "box_head"):
+        n_out = cfg.model.num_classes if head == "cls_head" else 4
+        for lvl in _FPN_LEVELS:
+            x = pyramid[lvl]
+            for i in range(cfg.model.head_depth):
+                x = jnp.maximum(conv(x, f"{head}/conv{i}"), 0.0)
+                absmax[f"{head}/conv{i}@{lvl}"] = jnp.max(jnp.abs(x))
+            y = conv(x, f"{head}/out")
+            b, h, w, _ = y.shape
+            outs[head].append(y.reshape(b, h * w * 9, n_out))
+    return (
+        jnp.concatenate(outs["cls_head"], axis=1),
+        jnp.concatenate(outs["box_head"], axis=1),
+        absmax,
+    )
+
+
+def run_int8_fpn_heads(
+    qp: QuantParams, cfg: DetectorConfig, taps_q: List[Tuple[Array, float]],
+) -> Tuple[Array, Array]:
+    """Int8 FPN + shared heads over int8 trunk taps (see section comment)."""
+    sc = qp.act_scale
+
+    def conv_f32(x_q, s_in, path, stride=1):
+        op = ConvOp(path, kernel=qp.w_int8[path].shape[0], stride=stride)
+        acc = _conv(x_q, jnp.asarray(qp.w_int8[path]), op, jnp.int32)
+        deq = s_in * jnp.asarray(qp.w_scale[path])
+        return acc.astype(jnp.float32) * deq + jnp.asarray(qp.bias[path])
+
+    def requant(y, key):
+        s = sc[key]
+        return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8), s
+
+    (q3, s3), (q4, s4), (q5, s5) = taps_q
+    pre5 = conv_f32(q5, s5, "fpn/lateral5")
+    pre4 = conv_f32(q4, s4, "fpn/lateral4") + _fpn_upsample2x(pre5)
+    pre3 = conv_f32(q3, s3, "fpn/lateral3") + _fpn_upsample2x(pre4)
+    pyramid: Dict[str, Tuple[Array, float]] = {}
+    for lvl, pre in (("P3", pre3), ("P4", pre4), ("P5", pre5)):
+        q_pre, s_pre = requant(pre, f"fpn/pre{lvl[1]}")
+        pyramid[lvl] = requant(
+            conv_f32(q_pre, s_pre, f"fpn/smooth{lvl[1]}"), f"fpn/{lvl}"
+        )
+    q_p6, s_p6 = requant(conv_f32(q5, s5, "fpn/p6", stride=2), "fpn/P6")
+    pyramid["P6"] = (q_p6, s_p6)
+    # relu commutes with the (monotone, sign-preserving) requant: apply it
+    # on the int8 codes and feed p7's conv directly.
+    pyramid["P7"] = requant(
+        conv_f32(jnp.maximum(q_p6, 0), s_p6, "fpn/p7", stride=2), "fpn/P7"
+    )
+
+    outs = {"cls_head": [], "box_head": []}
+    for head in ("cls_head", "box_head"):
+        n_out = cfg.model.num_classes if head == "cls_head" else 4
+        for lvl in _FPN_LEVELS:
+            x_q, s_x = pyramid[lvl]
+            for i in range(cfg.model.head_depth):
+                y = jnp.maximum(conv_f32(x_q, s_x, f"{head}/conv{i}"), 0.0)
+                x_q, s_x = requant(y, f"{head}/conv{i}@{lvl}")
+            y = conv_f32(x_q, s_x, f"{head}/out")
+            b, h, w, _ = y.shape
+            outs[head].append(y.reshape(b, h * w * 9, n_out))
+    return (
+        jnp.concatenate(outs["cls_head"], axis=1),
+        jnp.concatenate(outs["box_head"], axis=1),
+    )
+
 
 def quantize_retinanet(
     cfg: DetectorConfig,
     variables: Dict[str, Any],
     calibration_batches: Sequence[Array],
+    quantize_fpn_heads: bool = True,
 ) -> Tuple[QuantParams, Spec]:
-    """PTQ for RetinaNet: BN-fold + quantize the ResNet C3/C4/C5 trunk.
-
-    FPN lateral/topdown convs and the shared heads stay in the float
-    compute dtype (small FLOP fraction; the pyramid's adds/upsamples are
-    quantization-hostile)."""
+    """PTQ for RetinaNet: BN-fold + quantize trunk AND (by default) the
+    FPN + shared heads (r3; the float-FPN fallback remains available with
+    quantize_fpn_heads=False)."""
     params = variables["params"]
     spec = build_resnet_trunk_spec()
     folded = fold_resnet50(params, variables["batch_stats"])
-    scales = calibrate_scales(folded, spec, calibration_batches, use_l2norm=False)
-    return quantize_params(folded, spec, scales, quantize_heads=False), spec
+
+    agg: Dict[str, float] = {}
+
+    def probe(p, im):
+        taps, absmax = run_float(p, spec, im)
+        if quantize_fpn_heads:
+            _, _, fpn_absmax = run_float_fpn_heads(p, cfg, taps)
+            absmax = {**absmax, **fpn_absmax}
+        return absmax
+
+    run = jax.jit(probe)
+    for images in calibration_batches:
+        for key, val in jax.device_get(run(folded, images)).items():
+            agg[key] = max(agg.get(key, 0.0), float(val))
+    scales = {k: max(v, 1e-6) / 127.0 for k, v in agg.items()}
+
+    qp = quantize_params(folded, spec, scales, quantize_heads=False)
+    if quantize_fpn_heads:
+        for path in fpn_head_conv_paths(cfg):
+            w_q, s, b = _quantize_kernel(_get_path(folded, path))
+            qp.w_int8[path], qp.w_scale[path], qp.bias[path] = w_q, s, b
+    return qp, spec
 
 
 def retinanet_int8_forward(
     qp: QuantParams, spec: Spec, cfg: DetectorConfig, images: Array,
     dtype=jnp.bfloat16,
 ) -> Tuple[Array, Array]:
-    """Normalized float images -> (cls_logits, box_offsets)."""
+    """Normalized float images -> (cls_logits, box_offsets).
+
+    Runs the int8 FPN/heads when their weights are present in `qp`
+    (default quantize_retinanet output), else the float flax modules over
+    dequantized taps (legacy r1/r2 path)."""
+    if "fpn/lateral3" in qp.w_int8:
+        taps_q = run_int8(qp, spec, images, dequantize_taps=False)
+        return run_int8_fpn_heads(qp, cfg, taps_q)
+
     from object_detector_tpu.models.retinanet import FPN, RetinaNetHead
 
     taps = run_int8(qp, spec, images, dequantize_taps=True)

@@ -106,8 +106,7 @@ def test_resnet_folded_float_matches_flax(resnet_setup):
                                atol=2e-3)
 
 
-@pytest.mark.slow
-def test_retinanet_int8_close_to_float():
+def _retinanet_setup():
     from object_detector_tpu.core.config import retinanet_anchor_config
     from object_detector_tpu.models.retinanet import RetinaNetModel
 
@@ -123,9 +122,39 @@ def test_retinanet_int8_close_to_float():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.uniform(-2.0, 2.0, (2, size, size, 3)).astype(np.float32))
     variables = model.init(jax.random.key(0), x, train=False)
+    return cfg, model, variables, x
 
+
+@pytest.mark.slow
+def test_fpn_heads_float_runner_matches_flax():
+    """The functional FPN+heads calibration runner (which defines the int8
+    dataflow's requant points) must reproduce the flax modules exactly."""
+    cfg, model, variables, x = _retinanet_setup()
+    want_cls, want_box = model.apply(variables, x, train=False)
+    folded = engine.fold_resnet50(variables["params"], variables["batch_stats"])
+    taps, _ = engine.run_float(folded, engine.build_resnet_trunk_spec(), x)
+    got_cls, got_box, absmax = engine.run_float_fpn_heads(
+        variables["params"], cfg, taps
+    )
+    np.testing.assert_allclose(np.asarray(got_cls), np.asarray(want_cls), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_box), np.asarray(want_box), atol=2e-3)
+    # absmax covers every requant point of the int8 dataflow.
+    want_keys = {"fpn/pre3", "fpn/pre4", "fpn/pre5"}
+    want_keys |= {f"fpn/P{i}" for i in range(3, 8)}
+    for head in ("cls_head", "box_head"):
+        for i in range(cfg.model.head_depth):
+            want_keys |= {f"{head}/conv{i}@P{lvl}" for lvl in range(3, 8)}
+    assert set(absmax) == want_keys
+
+
+@pytest.mark.slow
+def test_retinanet_int8_close_to_float():
+    cfg, model, variables, x = _retinanet_setup()
     f_cls, f_box = model.apply(variables, x, train=False)
+
+    # Full int8 path: trunk + FPN + shared heads (r3 default).
     qp, spec = engine.quantize_retinanet(cfg, variables, [x])
+    assert "fpn/lateral3" in qp.w_int8 and "cls_head/out" in qp.w_int8
     q_cls, q_box = engine.retinanet_int8_forward(qp, spec, cfg, x,
                                                  dtype=jnp.float32)
     assert q_cls.shape == f_cls.shape and q_box.shape == f_box.shape
@@ -133,6 +162,15 @@ def test_retinanet_int8_close_to_float():
     box_err = np.abs(np.asarray(q_box) - np.asarray(f_box))
     assert np.percentile(cls_err, 99) < 0.3, np.percentile(cls_err, 99)
     assert np.percentile(box_err, 99) < 0.3, np.percentile(box_err, 99)
+
+    # Legacy float-FPN fallback still supported and at least as accurate.
+    qp_f, spec_f = engine.quantize_retinanet(
+        cfg, variables, [x], quantize_fpn_heads=False
+    )
+    assert "fpn/lateral3" not in qp_f.w_int8
+    l_cls, l_box = engine.retinanet_int8_forward(qp_f, spec_f, cfg, x,
+                                                 dtype=jnp.float32)
+    assert np.percentile(np.abs(np.asarray(l_cls) - np.asarray(f_cls)), 99) < 0.3
 
 
 @pytest.mark.slow
