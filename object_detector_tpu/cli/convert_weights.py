@@ -60,9 +60,17 @@ def main(argv=None) -> int:
     p.add_argument("--backbone", required=True, choices=["vgg16", "resnet50"])
     p.add_argument("--src", required=True, help="torch .pth/.pt or .npz state_dict")
     p.add_argument("--dst", required=True, help="output .npz")
+    p.add_argument(
+        "--no-validate", action="store_true",
+        help="skip the canonical torchvision key/shape check (non-standard dicts)",
+    )
     args = p.parse_args(argv)
 
     state = load_torch_state_dict(args.src)
+    if not args.no_validate:
+        from object_detector_tpu.utils.weights import validate_torch_state_dict
+
+        validate_torch_state_dict(state, args.backbone, allow_missing_fc=True)
     if args.backbone == "vgg16":
         params, stats = vgg16_from_torch(state), {}
     else:

@@ -85,8 +85,19 @@ class DecodedCache:
                     else tempfile.mkdtemp(prefix="odt_cache_")
                 )
             os.makedirs(spill_dir, exist_ok=True)
+            # The filename must pin dataset IDENTITY, not just (n, size):
+            # train/eval splits of equal length sharing one spill_dir must
+            # not silently reuse each other's pixels (ADVICE r2).
+            import hashlib
+
+            ident = hashlib.md5(
+                "\n".join(
+                    [dataset.name]
+                    + [r.path or r.image_id for r in dataset.records]
+                ).encode()
+            ).hexdigest()[:12]
             self.memmap_path = os.path.join(
-                spill_dir, f"images_{n}x{image_size}.npy"
+                spill_dir, f"images_{ident}_{n}x{image_size}.npy"
             )
             marker = self.memmap_path + ".complete"
             if os.path.exists(self.memmap_path) and os.path.exists(marker):

@@ -245,8 +245,16 @@ class MeanAPEvaluator:
         aps = []
         per_class = {}
         for c in range(self.num_classes):
+            # VOC protocols have no crowd concept; treat COCO crowd regions
+            # like difficult boxes (ignored: not counted in npos, matches
+            # don't score) rather than as ordinary GT, which would deflate
+            # mAP when evaluating COCO data with a VOC style (ADVICE r2).
+            ignore = {
+                img_id: diff | self._crowd[c][img_id]
+                for img_id, diff in self._diff[c].items()
+            }
             ap = _class_ap(
-                self._dets[c], self._gts[c], self._diff[c], iou_threshold, self.style
+                self._dets[c], self._gts[c], ignore, iou_threshold, self.style
             )
             if ap is not None:
                 aps.append(ap)

@@ -52,6 +52,23 @@ def test_difficult_gt_not_counted():
     assert abs(ev.result()["mAP"] - 1.0) < 1e-6  # only 1 non-difficult GT
 
 
+def test_crowd_gt_ignored_in_voc_styles():
+    """COCO crowd regions evaluated under a VOC style must act like
+    difficult boxes (ignored), not ordinary GT (ADVICE r2): one clean GT
+    matched perfectly + one crowd region => mAP 1.0, and a detection on
+    the crowd region is not an FP."""
+    for style in ("voc07", "voc10"):
+        ev = MeanAPEvaluator(num_classes=1, style=style)
+        gt = np.array([[0.1, 0.1, 0.4, 0.4], [0.5, 0.5, 0.9, 0.9]], np.float32)
+        crowd = np.array([False, True])
+        dets = gt  # one det on the clean GT, one on the crowd region
+        ev.add_image(
+            "a", dets, np.array([0.9, 0.8]), np.array([0, 0]),
+            gt, np.array([1, 1]), gt_crowd=crowd,
+        )
+        assert abs(ev.result()["mAP"] - 1.0) < 1e-6, style
+
+
 def test_average_precision_styles_disagree_correctly():
     recall = np.array([0.5])
     precision = np.array([1.0])

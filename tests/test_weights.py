@@ -1,5 +1,12 @@
-"""Pretrained-weight conversion tests (SURVEY.md §2 #14) — fake torchvision
-state_dicts (no network in this environment)."""
+"""Pretrained-weight conversion tests (SURVEY.md §2 #14).
+
+No network in this environment, so fixtures are synthetic — but they are
+built FROM `torchvision_state_dict_shapes`, the hard-coded canonical
+key+shape inventory of the real torchvision artifacts, and every converter
+test first passes the strict validator. A key-name or layout drift between
+our converters and the real state_dict layout now fails these tests instead
+of surfacing at (unavailable) real-artifact load time (VERDICT r2 item #7).
+"""
 
 import numpy as np
 import pytest
@@ -7,25 +14,59 @@ import pytest
 from object_detector_tpu.utils import weights
 
 
-def _fake_vgg_state():
+def _fake_state(arch: str, with_head: bool = True, seed: int = 0):
+    """Random state_dict with the exact canonical keys+shapes."""
+    rng = np.random.default_rng(seed)
     state = {}
-    # torchvision vgg16.features conv indices with (out, in) shapes.
-    shapes = {
-        0: (64, 3), 2: (64, 64),
-        5: (128, 64), 7: (128, 128),
-        10: (256, 128), 12: (256, 256), 14: (256, 256),
-        17: (512, 256), 19: (512, 512), 21: (512, 512),
-        24: (512, 512), 26: (512, 512), 28: (512, 512),
-    }
-    rng = np.random.default_rng(0)
-    for idx, (o, i) in shapes.items():
-        state[f"features.{idx}.weight"] = rng.normal(size=(o, i, 3, 3)).astype(np.float32)
-        state[f"features.{idx}.bias"] = rng.normal(size=(o,)).astype(np.float32)
+    for key, shape in weights.torchvision_state_dict_shapes(arch).items():
+        if not with_head and key.startswith(("classifier.", "fc.")):
+            continue
+        if key.endswith("num_batches_tracked"):
+            state[key] = np.asarray(100, np.int64)
+        elif "running_var" in key:
+            state[key] = np.abs(rng.normal(size=shape)).astype(np.float32)
+        else:
+            state[key] = rng.normal(size=shape).astype(np.float32)
     return state
 
 
+def test_inventory_counts():
+    # torchvision vgg16: 13 convs + 3 linears, weight+bias each.
+    assert len(weights.torchvision_state_dict_shapes("vgg16")) == 2 * (13 + 3)
+    # resnet50: conv1+bn1, 16 bottlenecks (3 conv+bn each), 4 downsamples, fc.
+    r50 = weights.torchvision_state_dict_shapes("resnet50")
+    assert sum(1 for k in r50 if k.endswith(".weight") and "bn" not in k
+               and "downsample.1" not in k and k != "fc.weight") == 1 + 16 * 3 + 4
+    assert r50["layer3.0.downsample.0.weight"] == (1024, 512, 1, 1)
+    assert r50["layer4.2.conv3.weight"] == (2048, 512, 1, 1)
+
+
+def test_validator_accepts_canonical_and_rejects_drift():
+    state = _fake_state("vgg16")
+    weights.validate_torch_state_dict(state, "vgg16")
+    headless = _fake_state("vgg16", with_head=False)
+    with pytest.raises(ValueError, match="missing keys"):
+        weights.validate_torch_state_dict(headless, "vgg16")
+    weights.validate_torch_state_dict(headless, "vgg16", allow_missing_fc=True)
+    bad = dict(state)
+    bad["features.0.weight"] = bad["features.0.weight"][:, :, :2, :2]
+    with pytest.raises(ValueError, match="shape mismatches"):
+        weights.validate_torch_state_dict(bad, "vgg16")
+    extra = dict(state)
+    extra["features.99.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(ValueError, match="unexpected keys"):
+        weights.validate_torch_state_dict(extra, "vgg16")
+
+    r50 = _fake_state("resnet50")
+    weights.validate_torch_state_dict(r50, "resnet50")
+    del r50["layer2.1.bn3.running_mean"]
+    with pytest.raises(ValueError, match="missing keys"):
+        weights.validate_torch_state_dict(r50, "resnet50")
+
+
 def test_vgg16_conversion_layout():
-    state = _fake_vgg_state()
+    state = _fake_state("vgg16")
+    weights.validate_torch_state_dict(state, "vgg16")
     params = weights.vgg16_from_torch(state)
     assert params["conv1_1"]["kernel"].shape == (3, 3, 3, 64)  # HWIO
     assert params["conv5_3"]["kernel"].shape == (3, 3, 512, 512)
@@ -40,19 +81,39 @@ def test_inject_backbone_into_model_params():
     import jax
     import jax.numpy as jnp
 
-    from object_detector_tpu.core.config import get_config
     from object_detector_tpu.models.vgg import VGG16Backbone
 
     backbone = VGG16Backbone(compute_dtype=jnp.float32)
     variables = backbone.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
-    converted = weights.vgg16_from_torch(_fake_vgg_state())
+    converted = weights.vgg16_from_torch(_fake_state("vgg16", with_head=False))
     merged = weights.inject_backbone({"backbone": variables["params"]}, converted)
     np.testing.assert_array_equal(
         np.asarray(merged["backbone"]["conv1_1"]["kernel"]),
         converted["conv1_1"]["kernel"],
     )
-    # fc6/fc7 untouched (not present in the torchvision conv stack).
+    # fc6/fc7 untouched (headless dict has no classifier to convert from).
     assert "fc6" in merged["backbone"]
+
+
+def test_full_vgg16_conversion_injects_into_model():
+    """End-to-end: canonical state_dict -> convert -> inject into the REAL
+    SSD backbone param tree, every layer shape-checked (incl. fc6/fc7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_detector_tpu.models.vgg import VGG16Backbone
+
+    backbone = VGG16Backbone(compute_dtype=jnp.float32)
+    variables = backbone.init(jax.random.key(0), jnp.zeros((1, 300, 300, 3)))
+    state = _fake_state("vgg16")
+    weights.validate_torch_state_dict(state, "vgg16")
+    converted = weights.vgg16_from_torch(state)
+    assert set(converted) == set(weights._VGG_FEATURE_IDX.values()) | {"fc6", "fc7"}
+    merged = weights.inject_backbone({"backbone": variables["params"]}, converted)
+    np.testing.assert_array_equal(
+        np.asarray(merged["backbone"]["fc7"]["bias"]),
+        state["classifier.3.bias"][::4],
+    )
 
 
 def test_inject_rejects_shape_mismatch():
@@ -70,34 +131,27 @@ def test_inject_rejects_shape_mismatch():
 
 
 def test_resnet50_conversion():
-    rng = np.random.default_rng(1)
-    state = {"conv1.weight": rng.normal(size=(64, 3, 7, 7)).astype(np.float32)}
-    for bn in ["bn1"]:
-        for k, shape in [("weight", 64), ("bias", 64), ("running_mean", 64), ("running_var", 64)]:
-            state[f"{bn}.{k}"] = rng.normal(size=(shape,)).astype(np.float32)
-    stage_sizes = (3, 4, 6, 3)
-    widths = (64, 128, 256, 512)
-    in_ch = 64
-    for s, (n, w) in enumerate(zip(stage_sizes, widths), start=1):
-        for b in range(n):
-            pre = f"layer{s}.{b}"
-            dims = [(w, in_ch if b == 0 else w * 4, 1), (w, w, 3), (w * 4, w, 1)]
-            for i, (o, i_ch, k) in enumerate(dims, start=1):
-                state[f"{pre}.conv{i}.weight"] = rng.normal(size=(o, i_ch, k, k)).astype(np.float32)
-                for kk, sz in [("weight", o), ("bias", o), ("running_mean", o), ("running_var", o)]:
-                    state[f"{pre}.bn{i}.{kk}"] = np.abs(rng.normal(size=(sz,))).astype(np.float32)
-            if b == 0:
-                state[f"{pre}.downsample.0.weight"] = rng.normal(
-                    size=(w * 4, in_ch if s == 1 else widths[s - 2] * 4, 1, 1)
-                ).astype(np.float32)
-                for kk, sz in [("weight", w * 4), ("bias", w * 4), ("running_mean", w * 4), ("running_var", w * 4)]:
-                    state[f"{pre}.downsample.1.{kk}"] = np.abs(rng.normal(size=(sz,))).astype(np.float32)
-        in_ch = w * 4
+    state = _fake_state("resnet50", seed=1)
+    weights.validate_torch_state_dict(state, "resnet50")
     params, stats = weights.resnet50_from_torch(state)
     assert params["stem_conv"]["kernel"].shape == (7, 7, 3, 64)
     assert "stage1_block1" in params and "proj" in params["stage1_block1"]
     assert "stage4_block3" in params and "proj" not in params["stage4_block3"]
     assert stats["stage2_block1"]["bn2"]["mean"].shape == (128,)
+    # Every converted block matches the model's expected channel widths:
+    # inject into the real ResNet50Backbone and shape-check.
+    import jax
+    import jax.numpy as jnp
+
+    from object_detector_tpu.models.resnet import ResNet50Backbone
+
+    backbone = ResNet50Backbone(compute_dtype=jnp.float32)
+    variables = backbone.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    merged = weights.inject_backbone({"backbone": variables["params"]}, params)
+    np.testing.assert_array_equal(
+        np.asarray(merged["backbone"]["stage3_block6"]["conv3"]["kernel"]),
+        params["stage3_block6"]["conv3"]["kernel"],
+    )
 
 
 def test_vgg16_fc6_fc7_atrous_subsample():
@@ -105,28 +159,17 @@ def test_vgg16_fc6_fc7_atrous_subsample():
     spatial taps (stride 3), fc7 decimates both sides of the 4096x4096
     linear; layouts land as flax HWIO and values trace back to the right
     source entries."""
-    rng = np.random.default_rng(2)
-    state = {
-        "classifier.0.weight": rng.normal(size=(4096, 25088)).astype(np.float32),
-        "classifier.0.bias": rng.normal(size=(4096,)).astype(np.float32),
-        "classifier.3.weight": rng.normal(size=(4096, 4096)).astype(np.float32),
-        "classifier.3.bias": rng.normal(size=(4096,)).astype(np.float32),
-    }
-    for idx in weights._VGG_FEATURE_IDX:
-        state[f"features.{idx}.weight"] = rng.normal(size=(8, 8, 3, 3)).astype(np.float32)
-        state[f"features.{idx}.bias"] = rng.normal(size=(8,)).astype(np.float32)
+    state = _fake_state("vgg16", seed=2)
     out = weights.vgg16_from_torch(state)
     assert out["fc6"]["kernel"].shape == (3, 3, 512, 1024)
     assert out["fc7"]["kernel"].shape == (1, 1, 1024, 1024)
-    assert out["fc6"]["bias"].shape == (1024,)
-
-    # fc6 kernel[ky,kx,i,o] == classifier.0.weight[4o, i*49 + (3ky)*7 + 3kx]
-    w0 = state["classifier.0.weight"].reshape(4096, 512, 7, 7)
-    np.testing.assert_allclose(
-        out["fc6"]["kernel"][1, 2, 5, 7], w0[28, 5, 3, 6]
+    # fc6 kernel value traceback: HWIO (ky,kx,i,o) <- torch fc6 row 4*o,
+    # input channel i at spatial tap (3*ky, 3*kx) of the 7x7 grid.
+    w6 = state["classifier.0.weight"].reshape(4096, 512, 7, 7)
+    np.testing.assert_array_equal(
+        out["fc6"]["kernel"][1, 2, 17, 5], w6[20, 17, 3, 6]
     )
-    np.testing.assert_allclose(out["fc6"]["bias"][3], state["classifier.0.bias"][12])
-    # fc7 kernel[0,0,i,o] == classifier.3.weight[4o, 4i]
-    np.testing.assert_allclose(
-        out["fc7"]["kernel"][0, 0, 9, 2], state["classifier.3.weight"][8, 36]
+    np.testing.assert_array_equal(out["fc6"]["bias"], state["classifier.0.bias"][::4])
+    np.testing.assert_array_equal(
+        out["fc7"]["kernel"][0, 0, 7, 3], state["classifier.3.weight"][12, 28]
     )
