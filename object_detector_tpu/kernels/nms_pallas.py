@@ -156,11 +156,31 @@ def _nms_rows(
     iou_threshold: float,
     score_threshold: float,
     interpret: bool,
+    sort_rows: bool = False,
 ) -> tuple[Array, Array]:
     """Run the kernel over all rows; returns per-row survivors in emit
     (descending-score) order: (scores (R, max_out) f32, candidate columns
-    (R, max_out) s32). Empty slots have score 0."""
+    (R, max_out) s32). Empty slots have score 0.
+
+    sort_rows groups rows by activity (candidates above threshold,
+    descending) before chunking, so dead rows concentrate into chunks the
+    kernel's early-exit skips. EXACT (rows independent; outputs are
+    inverse-permuted) but MEASURED SLOWER — default off. v5e A/B
+    (benchmarks/nms_rowsort_ab.py, R=1280, k=512, max_out=100): dense
+    profile 1.632 -> 1.719 ms, sparse trained-like 1.014 -> 1.102 ms.
+    The permute gathers cost ~0.09 ms while the in-kernel early exit
+    already captures the sparse win without reordering: a chunk's cost
+    tracks its hottest row's candidate count, and spreading hot rows
+    across chunks costs the same total iterations as concentrating them
+    when the grid is sequential."""
     total_rows, k = scores.shape
+    perm = None
+    if sort_rows and total_rows > _ROW_CHUNK:
+        activity = jnp.sum(scores > score_threshold, axis=1)  # (R,)
+        perm = jnp.argsort(-activity)
+        inv_perm = jnp.argsort(perm)
+        coords = jnp.take(coords, perm, axis=1)
+        scores = jnp.take(scores, perm, axis=0)
     chunk = min(_ROW_CHUNK, total_rows)
     pad_rows = _round_up(total_rows, chunk) - total_rows
     if pad_rows:
@@ -195,6 +215,9 @@ def _nms_rows(
     )(coords[0], coords[1], coords[2], coords[3], scores)
     if pad_rows:
         kept_s, kept_c = kept_s[:total_rows], kept_c[:total_rows]
+    if perm is not None:
+        kept_s = jnp.take(kept_s, inv_perm, axis=0)
+        kept_c = jnp.take(kept_c, inv_perm, axis=0)
     return kept_s, kept_c
 
 

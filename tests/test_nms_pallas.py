@@ -176,3 +176,35 @@ def test_pallas_class_starvation_is_bounded(rng):
     got_all = sorted(np.asarray(got.scores)[gv])[-32:]
     ref_all = sorted(np.asarray(ref.scores)[rv])[-32:]
     np.testing.assert_allclose(got_all, ref_all, atol=1e-5)
+
+
+def test_row_activity_sort_is_exact(rng, monkeypatch):
+    """The row-activity sort in _nms_rows groups dead (image, class) rows
+    into chunks the kernel's early-exit skips; outputs are inverse-permuted,
+    so results must be bit-identical to the unsorted path. _ROW_CHUNK is
+    patched small so the sort path (total_rows > chunk) runs at test sizes
+    (production: B*C rows >> 256)."""
+    from object_detector_tpu.kernels import nms_pallas
+
+    monkeypatch.setattr(nms_pallas, "_ROW_CHUNK", 8)
+    R, k, max_out = 24, 64, 16
+    # Mixed activity: a third of the rows fully dead, varied counts elsewhere.
+    scores = rng.uniform(0.1, 1.0, (R, k)).astype(np.float32)
+    scores *= (rng.uniform(0, 1, (R, k)) > 0.6)
+    scores[::3] = 0.0
+    order = np.argsort(-scores, axis=1)
+    scores = np.take_along_axis(scores, order, axis=1)  # desc per row
+    boxes = rng.uniform(0, 0.9, (R, k, 2)).astype(np.float32)
+    wh = rng.uniform(0.05, 0.3, (R, k, 2)).astype(np.float32)
+    coords = np.stack(
+        [boxes[..., 0], boxes[..., 1], boxes[..., 0] + wh[..., 0],
+         boxes[..., 1] + wh[..., 1]]
+    )  # (4, R, k)
+    kw = dict(max_out=max_out, iou_threshold=0.5, score_threshold=0.05,
+              interpret=True)
+    s_sorted, c_sorted = nms_pallas._nms_rows(
+        jnp.asarray(coords), jnp.asarray(scores), sort_rows=True, **kw)
+    s_plain, c_plain = nms_pallas._nms_rows(
+        jnp.asarray(coords), jnp.asarray(scores), sort_rows=False, **kw)
+    np.testing.assert_array_equal(np.asarray(s_sorted), np.asarray(s_plain))
+    np.testing.assert_array_equal(np.asarray(c_sorted), np.asarray(c_plain))
