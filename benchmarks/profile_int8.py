@@ -67,7 +67,10 @@ def capture(trace_dir: str, preset: str):
 
 
 def report(trace_dir: str, top: int = 40):
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    try:  # xprof is the maintained successor of tensorboard_plugin_profile
+        from xprof.convert import raw_to_tool_data
+    except ImportError:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
 
     xspaces = glob.glob(
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
@@ -75,6 +78,9 @@ def report(trace_dir: str, top: int = 40):
     if not xspaces:
         print("no xplane captured")
         return
+    # Only the newest capture session — the dir accumulates one subdir per
+    # run and mixing sessions breaks the converter.
+    xspaces = [max(xspaces, key=os.path.getmtime)]
     data, _ = raw_to_tool_data.xspace_to_tool_data(
         xspaces, "framework_op_stats", {}
     )

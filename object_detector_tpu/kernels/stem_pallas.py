@@ -161,12 +161,13 @@ def conv11_pair_acc(x: Array, w1r: Array) -> Array:
 def _stem_kernel(
     x_hbm,  # ANY (H+2, Jp, B, 128) s8 odd-pair conv1_1 codes (halo'd)
     w_ref,  # VMEM (6, 128, 128) s8 packed conv1_2
+    mask_ref,  # VMEM (1, Jp, 1, 128) s8 column-halo mask (1=real, 0=halo)
     deq_ref,  # VMEM (1, 128) f32 per-channel dequant (x scale included)
     bias_ref,  # VMEM (1, 128) f32
     scale_ref,  # SMEM (1, 1) f32 requant (output activation) scale
-    out_hbm,  # ANY (H/2, Jp, B, 128) s8 pooled output (manual DMA)
+    out_hbm,  # ANY (H/2, Jp//2, B, 128) s8 pair-packed pooled output
     x_vmem,  # scratch (rows+3, Jp, nb, 128) s8
-    out_vmem,  # scratch (rows//2, Jp, nb, 128) s8
+    out_vmem,  # scratch (rows//2, Jp//2, nb, 128) s8
     sem,
     out_sem,
     *,
@@ -198,13 +199,16 @@ def _stem_kernel(
     copy.start()
     copy.wait()
 
-    # Zero halo positions. Full-channel slices are zeroed here in VMEM
-    # (cheap; Mosaic allows full-lane-tile stores); the two HALF-channel
-    # column groups (pair 0 group n=0 = column -1, pair jp-2 group n=1 =
-    # column w) are zeroed by the launcher with thin in-place XLA updates
-    # (sub-128-lane VMEM stores don't lower).
-    x_vmem[0 : rows + 2, jp - 1 : jp, :, :] = jnp.zeros(
-        (rows + 2, 1, nb, 128), jnp.int8
+    # Zero halo positions. ALL column halos (full pair jp-1 plus the two
+    # half-channel groups: pair 0 group n=0 = column -1, pair jp-2 group
+    # n=1 = column w) via one broadcast mask multiply over the scratch —
+    # sub-128-lane stores on a single pair don't lower in Mosaic, but a
+    # full-scratch VPU multiply is cheap and keeps the halo zeroing out
+    # of the XLA graph (it used to be two dynamic-update-slice HBM passes
+    # on the 376 MB conv1_1 buffer, ~0.2 ms at bs=64). Select, not
+    # multiply: Mosaic has no int8 multiply on the VPU.
+    x_vmem[:] = jnp.where(
+        mask_ref[:] != 0, x_vmem[:], jnp.zeros_like(x_vmem)
     )
     zero_row = jnp.zeros((1, jp, nb, 128), jnp.int8)
 
@@ -239,12 +243,14 @@ def _stem_kernel(
     y = y.reshape(rows // 2, 2, jp * nb, 64)
     y = jnp.maximum(y[:, 0], y[:, 1])  # (rows//2, jp*nb, 64)
     q = jnp.clip(jnp.round(y / scale_ref[0, 0]), -127, 127).astype(jnp.int8)
-    q = q.reshape(rows // 2, jp, nb, 64)
-    # Output channel dim padded to 128 (duplicate halves): a 64-lane HBM
-    # DMA slice doesn't lower; the launcher's transpose-back fuses the
-    # :64 slice.
-    out_vmem[:, :, :, 0:64] = q
-    out_vmem[:, :, :, 64:128] = q
+    # Pair-packed emit: lane = (pool-column parity m) * 64 + channel, so
+    # the output uses all 128 lanes with NO duplicated half (the r2 kernel
+    # duplicated the 64 channels to make the HBM DMA full-lane, doubling
+    # the write traffic and the downstream unpack read). The launcher's
+    # reshape (Jp//2, 128) -> (Jp, 64) is metadata-free.
+    q = q.reshape(rows // 2, jp // 2, 2, nb, 64)
+    out_vmem[:, :, :, 0:64] = q[:, :, 0]
+    out_vmem[:, :, :, 64:128] = q[:, :, 1]
     out_copy = pltpu.make_async_copy(
         out_vmem,
         out_hbm.at[
@@ -281,15 +287,16 @@ def conv12_pool_pair(
     b, hp2, jp, c2 = x1pp.shape
     h = hp2 - 2
     assert h % band_rows == 0, (h, band_rows)
+    assert jp % 2 == 0, jp
     n_bands = h // band_rows
     nb = 8 if b % 8 == 0 else 1  # batch sublane tile (TPU needs 8)
 
-    # Thin in-place updates for the two half-channel halo columns (see
-    # _stem_kernel halo note) — XLA lowers these as in-place
-    # dynamic-update-slices on the conv's output buffer, not full-tensor
-    # masks.
-    x1pp = x1pp.at[:, :, 0, 0:64].set(0)  # pair 0 n=0: column -1
-    x1pp = x1pp.at[:, :, jp - 2, 64:128].set(0)  # pair jp-2 n=1: column w
+    # Column-halo mask (see _stem_kernel): all halo zeroing happens in the
+    # kernel via one VPU multiply — no dynamic-update-slice HBM passes on
+    # the 376 MB conv1_1 buffer.
+    w_true = 2 * (jp - 2)
+    col = 2 * np.arange(jp)[:, None] + (np.arange(128)[None, :] >= 64) - 1
+    mask = ((col >= 0) & (col < w_true)).astype(np.int8)  # (Jp, 128)
     x_t = jnp.transpose(x1pp, (1, 2, 0, 3))  # (H+2, Jp, B, 128)
     out = pl.pallas_call(
         functools.partial(_stem_kernel, rows=band_rows, jp=jp, nb=nb),
@@ -297,6 +304,8 @@ def conv12_pool_pair(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((6, 128, 128), lambda i, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jp, 1, 128), lambda i, r: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -306,10 +315,10 @@ def conv12_pool_pair(
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((h // 2, jp, b, 128), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((h // 2, jp // 2, b, 128), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((band_rows + 3, jp, nb, 128), jnp.int8),
-            pltpu.VMEM((band_rows // 2, jp, nb, 128), jnp.int8),
+            pltpu.VMEM((band_rows // 2, jp // 2, nb, 128), jnp.int8),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -317,12 +326,16 @@ def conv12_pool_pair(
     )(
         x_t,
         w2pp,
+        jnp.asarray(mask).reshape(1, jp, 1, 128),
         deq.reshape(1, 128),
         bias.reshape(1, 128),
         jnp.asarray(out_scale, jnp.float32).reshape(1, 1),
     )
-    # Back to NHWC (layout-propagated, not a data copy when the consumer
-    # conv picks the matching physical layout), dropping the duplicated
-    # channel half. Output pair u holds pooled columns (2u, 2u+1); pairs
-    # >= out_width are halo/wrap junk.
-    return jnp.transpose(out[..., :64], (2, 0, 1, 3))[:, :, :out_width, :]
+    # Unpack: (H/2, Jp/2, B, 128) -> (B, H/2, Jp/2, 128) transpose (the
+    # only remaining data copy — half the size of the r2 duplicated-half
+    # seam) -> metadata reshape splitting lanes (pair, channel) back into
+    # (column, channel) -> drop halo columns. Output pair u holds pooled
+    # columns (2u, 2u+1); columns >= out_width are halo/wrap junk.
+    out = jnp.transpose(out, (2, 0, 1, 3))  # (B, H/2, Jp/2, 128)
+    out = out.reshape(b, h // 2, jp, 64)
+    return out[:, :, :out_width, :]
