@@ -70,9 +70,61 @@ def _measure_latency(timeout_s: int = 540) -> dict:
     return {"p50_latency_ms_bs1": None}
 
 
+def _measure_train(timeout_s: int = 540) -> dict:
+    """Train-step throughput (BASELINE config #4 unit: bs=32 per-chip) in a
+    clean subprocess, before the parent binds the TPU — same isolation
+    rationale as `_measure_latency` (the scoped-VMEM throughput flag is
+    inference-tuned, and two live clients on the single tunneled chip
+    deadlock)."""
+    env = {k: v for k, v in os.environ.items() if k != "LIBTPU_INIT_ARGS"}
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=120, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        print("[bench] backend probe timed out; skipping train bench",
+              file=sys.stderr)
+        return {"train_images_per_sec_chip": None}
+    if probe.stdout.strip().splitlines()[-1:] != ["tpu"]:
+        # bs=32 at 300px is minutes/step on CPU — only measure on TPU.
+        return {"train_images_per_sec_chip": None}
+    script = os.path.join(_HERE, "benchmarks", "train_bench.py")
+    try:
+        out = subprocess.run(
+            [sys.executable, script, "32", "--iters", "12", "--json"],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+    except subprocess.TimeoutExpired as e:
+        err = e.stderr or b""
+        if isinstance(err, bytes):
+            err = err.decode(errors="replace")
+        print(
+            f"[bench] train subprocess TIMED OUT after {timeout_s}s; "
+            f"stderr tail:\n{err[-2000:]}",
+            file=sys.stderr,
+        )
+        return {"train_images_per_sec_chip": None}
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        if "train_images_per_sec_chip" in d:
+            return d
+    print(
+        f"[bench] train subprocess produced no JSON (rc={out.returncode}); "
+        f"stdout tail:\n{out.stdout[-1000:]}\nstderr tail:\n{out.stderr[-2000:]}",
+        file=sys.stderr,
+    )
+    return {"train_images_per_sec_chip": None}
+
+
 def main() -> None:
     # Latency first — see module docstring. No jax import may precede this.
     latency = _measure_latency()
+    # Train-step throughput second, still before this process binds the TPU.
+    train = _measure_train()
 
     import jax
 
@@ -191,6 +243,7 @@ def main() -> None:
         result["imgs_per_sec_sparse_scores"] = round(batch_size / dt_sparse, 1)
 
     result.update(latency)
+    result.update(train)
     print(json.dumps(result))
 
 

@@ -44,11 +44,16 @@ def main():
     )
     spec = engine.build_ssd_spec(cfg, fused_stem=True)
 
+    stem_op = next(op for op in spec if isinstance(op, engine.FusedStemOp))
     for square in (False, True):
-        stem_pallas._SQUARE_W1 = square
-        qp = jax.device_put(
-            engine.quantize_ssd(cfg, params, [img[:8]], spec=spec)[0]
-        )
+        qp = engine.quantize_ssd(cfg, params, [img[:8]], spec=spec)[0]
+        if square:
+            # Repack conv1_1 with the square (kw=3) window; conv11_pair_acc
+            # infers the pad from the packed-weight shape.
+            qp.w_int8[stem_op.path1] = stem_pallas.pack_conv11_pair(
+                np.asarray(qp.w_int8[stem_op.path1 + "#plain"]), square=True
+            )
+        qp = jax.device_put(qp)
         fn = jax.jit(
             lambda q, im: [
                 t[0] for t in engine.run_int8(q, spec, im, dequantize_taps=False)
@@ -60,7 +65,6 @@ def main():
             f"{dt*1e3:7.3f} ms  {bs/dt:7.1f} img/s",
             flush=True,
         )
-    stem_pallas._SQUARE_W1 = False
 
 
 if __name__ == "__main__":

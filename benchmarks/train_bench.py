@@ -27,8 +27,17 @@ from object_detector_tpu.train.step import make_train_step
 
 
 def main():
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bs", nargs="?", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--json", action="store_true",
+                    help="print one machine-readable JSON line (bench.py)")
+    args = ap.parse_args()
     cfg = get_config("ssd300_vgg16_voc")
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    bs = args.bs
     cfg = cfg.override({"train.batch_size": bs})
     s = cfg.model.image_size
     m = cfg.data.max_boxes
@@ -60,8 +69,15 @@ def main():
             return metrics["loss"]
 
     stepper = Stepper(state)
-    dt = timed(stepper, batch, key, iters=20)
-    print(f"train step bs={bs}: {dt*1e3:.2f} ms  {bs/dt:.1f} img/s/chip")
+    dt = timed(stepper, batch, key, iters=args.iters)
+    if args.json:
+        print(json.dumps({
+            "train_images_per_sec_chip": round(bs / dt, 1),
+            "train_step_ms": round(dt * 1e3, 2),
+            "train_batch_size": bs,
+        }))
+    else:
+        print(f"train step bs={bs}: {dt*1e3:.2f} ms  {bs/dt:.1f} img/s/chip")
 
 
 if __name__ == "__main__":

@@ -57,7 +57,7 @@ Array = jnp.ndarray
 # Weight packing
 # ---------------------------------------------------------------------------
 
-def pack_conv11_pair(w1: np.ndarray) -> np.ndarray:
+def pack_conv11_pair(w1: np.ndarray, square: bool = False) -> np.ndarray:
     """(3,3,Cin,C) conv1_1 kernel -> (3,2,2*Cin,2C) odd-pair kernel over
     the pair-column input reshape.
 
@@ -71,10 +71,11 @@ def pack_conv11_pair(w1: np.ndarray) -> np.ndarray:
     """
     kh, kw, cin, cout = w1.shape
     assert (kh, kw) == (3, 3)
-    # kw_packed=3 appends an all-zero kx-plane: same math, 1.5x the MACs,
+    # square=True appends an all-zero kx-plane: same math, 1.5x the MACs,
     # but a square window can select a different (fusing) XLA emitter —
-    # A/B knob for the producer-fusion problem.
-    kw_packed = 3 if _SQUARE_W1 else 2
+    # A/B knob for the producer-fusion problem (measured no better on
+    # v5e; benchmarks/stem_producer_bench.py).
+    kw_packed = 3 if square else 2
     out = np.zeros((3, kw_packed, 2 * cin, 2 * cout), w1.dtype)
     for kxp in range(2):
         for m in range(2):
@@ -84,9 +85,6 @@ def pack_conv11_pair(w1: np.ndarray) -> np.ndarray:
                     out[:, kxp, m * cin : (m + 1) * cin,
                         n * cout : (n + 1) * cout] = w1[:, kx]
     return out
-
-
-_SQUARE_W1 = False  # see pack_conv11_pair
 
 
 def pack_conv12_pair(w2: np.ndarray) -> np.ndarray:
@@ -166,10 +164,10 @@ def _stem_kernel(
     bias_ref,  # VMEM (1, 128) f32
     scale_ref,  # SMEM (1, 1) f32 requant (output activation) scale
     out_hbm,  # ANY (H/2, Jp//2, B, 128) s8 pair-packed pooled output
-    x_vmem,  # scratch (rows+3, Jp, nb, 128) s8
-    out_vmem,  # scratch (rows//2, Jp//2, nb, 128) s8
-    sem,
-    out_sem,
+    x_vmem,  # scratch (2, rows+3, Jp, nb, 128) s8 double-buffered
+    out_vmem,  # scratch (2, rows//2, Jp//2, nb, 128) s8 double-buffered
+    in_sems,  # DMA semaphores (2,)
+    out_sems,  # DMA semaphores (2,)
     *,
     rows: int,  # conv1_2 output rows per band (= 2 * pool rows)
     jp: int,  # padded pair count (x1pp width)
@@ -184,43 +182,74 @@ def _stem_kernel(
     # physical tiling places BATCH in sublanes, so each program handles
     # nb=8 batch elements (tile-aligned slices; every tap offset becomes
     # a multiple of 8 — no misaligned operand slices at all).
+    #
+    # DMA pipelining: the sequential grid double-buffers ACROSS programs —
+    # program n waits on the band its predecessor prefetched, immediately
+    # prefetches program n+1's band into the other slot, computes, and
+    # drains its output copy asynchronously (program n+2 reclaims the
+    # slot). The r2 kernel's start();wait() serialization put the full
+    # 376 MB band traffic on the critical path.
     g = pl.program_id(0)
     band = pl.program_id(1)
     n_bands = pl.num_programs(1)
-    # DMA the band's rows (+1 halo each side) into VMEM. The scratch has
-    # one extra (garbage) row: the ky=2,kj=1 tap's flat slice reaches one
-    # row past the halo for wrap-junk output columns (sliced off later),
-    # and the slice itself must stay in bounds.
-    copy = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(band * rows, rows + 2), :, pl.ds(g * nb, nb)],
-        x_vmem.at[pl.ds(0, rows + 2)],
-        sem,
-    )
-    copy.start()
-    copy.wait()
+    n_total = pl.num_programs(0) * n_bands
+    n = g * n_bands + band
+    slot = jax.lax.rem(n, 2)
 
-    # Zero halo positions. ALL column halos (full pair jp-1 plus the two
-    # half-channel groups: pair 0 group n=0 = column -1, pair jp-2 group
-    # n=1 = column w) via one broadcast mask multiply over the scratch —
-    # sub-128-lane stores on a single pair don't lower in Mosaic, but a
-    # full-scratch VPU multiply is cheap and keeps the halo zeroing out
+    # The x scratch has one extra (garbage) row per slot: the ky=2,kj=1
+    # tap's flat slice reaches one row past the halo for wrap-junk output
+    # columns (sliced off later), and the slice itself must stay in
+    # bounds.
+    def in_copy(g_, band_, slot_):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(band_ * rows, rows + 2), :, pl.ds(g_ * nb, nb)],
+            x_vmem.at[slot_, pl.ds(0, rows + 2)],
+            in_sems.at[slot_],
+        )
+
+    def out_copy(g_, band_, slot_):
+        return pltpu.make_async_copy(
+            out_vmem.at[slot_],
+            out_hbm.at[
+                pl.ds(band_ * (rows // 2), rows // 2), :, pl.ds(g_ * nb, nb)
+            ],
+            out_sems.at[slot_],
+        )
+
+    @pl.when(n == 0)
+    def _():
+        in_copy(g, band, slot).start()
+
+    in_copy(g, band, slot).wait()
+
+    # Prefetch the successor program's band (wrapping to the next batch
+    # group) while this program computes.
+    wrap = band + 1 == n_bands
+    band_nxt = jnp.where(wrap, 0, band + 1)
+    g_nxt = g + wrap.astype(jnp.int32)
+
+    @pl.when(n + 1 < n_total)
+    def _():
+        in_copy(g_nxt, band_nxt, 1 - slot).start()
+
+    # Zero halo positions as VALUE selects (no scratch stores): ALL column
+    # halos (full pair jp-1 plus the two half-channel groups: pair 0 group
+    # n=0 = column -1, pair jp-2 group n=1 = column w) via the broadcast
+    # mask — sub-128-lane stores on a single pair don't lower in Mosaic,
+    # but a full-band VPU select is cheap and keeps the halo zeroing out
     # of the XLA graph (it used to be two dynamic-update-slice HBM passes
-    # on the 376 MB conv1_1 buffer, ~0.2 ms at bs=64). Select, not
-    # multiply: Mosaic has no int8 multiply on the VPU.
-    x_vmem[:] = jnp.where(
-        mask_ref[:] != 0, x_vmem[:], jnp.zeros_like(x_vmem)
+    # on the 376 MB conv1_1 buffer, ~0.2 ms at bs=64). Row halos (image
+    # row -1 on the first band, row H on the last) fold into the same
+    # select via a row iota.
+    xv = x_vmem[slot]  # (rows+3, jp, nb, 128)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows + 3, 1, 1, 1), 0)
+    row_halo = ((band == 0) & (row_ids == 0)) | (
+        (band == n_bands - 1) & (row_ids == rows + 1)
     )
-    zero_row = jnp.zeros((1, jp, nb, 128), jnp.int8)
+    keep = (mask_ref[:] != 0) & jnp.logical_not(row_halo)
+    xv = jnp.where(keep, xv, jnp.zeros_like(xv))
 
-    @pl.when(band == 0)
-    def _():
-        x_vmem[0:1] = zero_row  # image row -1
-
-    @pl.when(band == n_bands - 1)
-    def _():
-        x_vmem[rows + 1 : rows + 2] = zero_row  # image row H
-
-    flat = x_vmem[:].reshape((rows + 3) * jp * nb, 128)
+    flat = xv.reshape((rows + 3) * jp * nb, 128)
     m = rows * jp * nb
     acc = jnp.zeros((m, 128), jnp.int32)
     for ky in range(3):
@@ -249,17 +278,22 @@ def _stem_kernel(
     # the write traffic and the downstream unpack read). The launcher's
     # reshape (Jp//2, 128) -> (Jp, 64) is metadata-free.
     q = q.reshape(rows // 2, jp // 2, 2, nb, 64)
-    out_vmem[:, :, :, 0:64] = q[:, :, 0]
-    out_vmem[:, :, :, 64:128] = q[:, :, 1]
-    out_copy = pltpu.make_async_copy(
-        out_vmem,
-        out_hbm.at[
-            pl.ds(band * (rows // 2), rows // 2), :, pl.ds(g * nb, nb)
-        ],
-        out_sem,
-    )
-    out_copy.start()
-    out_copy.wait()
+    # Reclaim this slot's output buffer (program n-2's copy) before
+    # overwriting it; the copy itself drains asynchronously under the
+    # successor programs' compute.
+    @pl.when(n >= 2)
+    def _():
+        out_copy(g, band, slot).wait()
+
+    out_vmem[slot, :, :, :, 0:64] = q[:, :, 0]
+    out_vmem[slot, :, :, :, 64:128] = q[:, :, 1]
+    out_copy(g, band, slot).start()
+
+    @pl.when(n == n_total - 1)
+    def _():
+        if n_total > 1:
+            out_copy(g, band, 1 - slot).wait()
+        out_copy(g, band, slot).wait()
 
 
 @functools.partial(
@@ -317,10 +351,10 @@ def conv12_pool_pair(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((h // 2, jp // 2, b, 128), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((band_rows + 3, jp, nb, 128), jnp.int8),
-            pltpu.VMEM((band_rows // 2, jp // 2, nb, 128), jnp.int8),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, band_rows + 3, jp, nb, 128), jnp.int8),
+            pltpu.VMEM((2, band_rows // 2, jp // 2, nb, 128), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(

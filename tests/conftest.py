@@ -24,7 +24,14 @@ def pytest_addoption(parser):
         "--runslow",
         action="store_true",
         default=False,
-        help="also run tests marked slow (full suite; ~15 min on 1 CPU)",
+        help="also run tests marked slow (tier 2; <15 min on 1 CPU)",
+    )
+    parser.addoption(
+        "--runslowest",
+        action="store_true",
+        default=False,
+        help="also run tests marked slowest (tier 3: subprocess-compile "
+        "integration tests — multihost dryruns, real-file CLI; ~11 min)",
     )
 
 
@@ -33,15 +40,26 @@ def pytest_configure(config):
         "markers",
         "slow: long-running integration/quant tests, skipped unless --runslow",
     )
+    config.addinivalue_line(
+        "markers",
+        "slowest: heaviest compile-bound integration tests, skipped unless "
+        "--runslowest (CI tiers: default | --runslow -m slow | "
+        "--runslowest -m slowest)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow"):
-        return
-    skip = pytest.mark.skip(reason="slow; use --runslow for the full suite")
-    for item in items:
-        if "slow" in item.keywords:
-            item.add_marker(skip)
+    tiers = (
+        ("slow", config.getoption("--runslow"), "--runslow"),
+        ("slowest", config.getoption("--runslowest"), "--runslowest"),
+    )
+    for mark, enabled, flag in tiers:
+        if enabled:
+            continue
+        skip = pytest.mark.skip(reason=f"{mark}; use {flag} to include")
+        for item in items:
+            if mark in item.keywords:
+                item.add_marker(skip)
 
 
 @pytest.fixture

@@ -38,7 +38,7 @@ def _run_subprocess(code: str, n_devices: int) -> str:
     return out.stdout
 
 
-@pytest.mark.slow
+@pytest.mark.slowest
 def test_dryrun_multichip_16():
     out = _run_subprocess(
         "import __graft_entry__; __graft_entry__.dryrun_multichip(16)", 16
@@ -100,7 +100,7 @@ print(f"DP16_OK loss16={loss16:.6f} loss1={loss1:.6f} max_param_diff={worst:.2e}
 """
 
 
-@pytest.mark.slow
+@pytest.mark.slowest
 def test_dp16_two_host_layout_matches_single_device():
     out = _run_subprocess(_DP16_SCRIPT, 16)
     assert "DP16_OK" in out

@@ -280,6 +280,26 @@ def test_fused_stem_matches_unfused():
         )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+def test_pack_conv11_pair_square_equivalent():
+    """The square (kw=3) conv1_1 packing is the kw=2 packing plus an
+    all-zero kx-plane — same accumulator for any input (A/B emitter knob,
+    benchmarks/stem_producer_bench.py)."""
+    from object_detector_tpu.kernels import stem_pallas
+
+    rng = np.random.default_rng(3)
+    w1 = rng.integers(-9, 10, (3, 3, 3, 64)).astype(np.int8)
+    rect = stem_pallas.pack_conv11_pair(w1)
+    square = stem_pallas.pack_conv11_pair(w1, square=True)
+    assert square.shape == (3, 3, 6, 128) and rect.shape == (3, 2, 6, 128)
+    np.testing.assert_array_equal(square[:, :2], rect)
+    np.testing.assert_array_equal(square[:, 2], 0)
+    x_q = jnp.asarray(rng.integers(-9, 10, (2, 8, 8, 3), dtype=np.int8))
+    np.testing.assert_array_equal(
+        np.asarray(stem_pallas.conv11_pair_acc(x_q, jnp.asarray(rect))),
+        np.asarray(stem_pallas.conv11_pair_acc(x_q, jnp.asarray(square))),
+    )
+
+
 def test_fused_stem_spec_full_trunk_parity(setup):
     """run_int8 over the fused-stem spec == the unfused spec, end to end
     through the whole trunk (bit-exact block-1, identical downstream)."""

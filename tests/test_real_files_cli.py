@@ -59,7 +59,7 @@ def _write_voc_tree(root: str, n_images: int = 10, seed: int = 0) -> None:
             f.write("\n".join(members) + "\n")
 
 
-@pytest.mark.slow
+@pytest.mark.slowest
 def test_cli_train_evaluate_on_voc_files(tmp_path, capsys):
     root = str(tmp_path / "VOCdevkit")
     _write_voc_tree(root)

@@ -20,7 +20,7 @@ from object_detector_tpu.train.loop import init_model_state
 from object_detector_tpu.train.step import make_train_step
 
 
-@pytest.mark.slow
+@pytest.mark.slowest
 def test_retinanet_overfit_smoke():
     size = 128
     cfg = DetectorConfig(
