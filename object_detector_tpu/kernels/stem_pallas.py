@@ -133,16 +133,22 @@ def stem_halo_mask(h: int, w: int) -> np.ndarray:
     return (rows_ok & cols_ok[None])[None]
 
 
-def conv11_pair_acc(x: Array, w1r: Array) -> Array:
+def conv11_pair_acc(x: Array, w1r: Array, out_order: str = "NHWC") -> Array:
     """Input (B,H,W,Cin) -> odd-pair conv1_1 accumulator
     (B, H+2, W//2+2, 128) in int32 (or f32 for float x), WITH the row and
     pair-column halo conv1_2 needs. Implemented as a stride-1 conv over
     the pair-column reshape so XLA's good emitter (with epilogue fusion)
-    handles it."""
+    handles it.
+
+    out_order="HWNC" emits (H+2, W//2+2, B, 128) directly — the exact
+    logical order `conv12_pool_pair(..., input_transposed=True)` consumes,
+    removing the transpose from the XLA graph entirely (A/B vs. relying on
+    XLA to bitcast the {3,0,2,1}-layout transpose;
+    benchmarks/stem_experiments.py)."""
     b, h, w, cin = x.shape
     xr = x.reshape(b, h, w // 2, 2 * cin)
     dn = jax.lax.conv_dimension_numbers(
-        xr.shape, w1r.shape, ("NHWC", "HWIO", "NHWC")
+        xr.shape, w1r.shape, ("NHWC", "HWIO", out_order)
     )
     acc_t = jnp.int32 if x.dtype == jnp.int8 else jnp.float32
     pad_w = (1, 2) if w1r.shape[1] == 2 else (1, 3)
@@ -297,7 +303,9 @@ def _stem_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_width", "interpret", "band_rows")
+    jax.jit,
+    static_argnames=("out_width", "interpret", "band_rows",
+                     "input_transposed"),
 )
 def conv12_pool_pair(
     x1pp: Array,  # (B, H+2, Jp, 128) s8 odd-pair conv1_1 codes
@@ -308,6 +316,7 @@ def conv12_pool_pair(
     out_width: int,  # true pooled width (pairs beyond it are halo junk)
     interpret: bool | None = None,
     band_rows: int = 20,
+    input_transposed: bool = False,  # x1pp already (H+2, Jp, B, 128)
 ) -> Array:
     """Fused conv1_2+relu+requant+pool over the odd-pair layout.
 
@@ -318,7 +327,10 @@ def conv12_pool_pair(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, hp2, jp, c2 = x1pp.shape
+    if input_transposed:
+        hp2, jp, b, c2 = x1pp.shape
+    else:
+        b, hp2, jp, c2 = x1pp.shape
     h = hp2 - 2
     assert h % band_rows == 0, (h, band_rows)
     assert jp % 2 == 0, jp
@@ -331,7 +343,10 @@ def conv12_pool_pair(
     w_true = 2 * (jp - 2)
     col = 2 * np.arange(jp)[:, None] + (np.arange(128)[None, :] >= 64) - 1
     mask = ((col >= 0) & (col < w_true)).astype(np.int8)  # (Jp, 128)
-    x_t = jnp.transpose(x1pp, (1, 2, 0, 3))  # (H+2, Jp, B, 128)
+    if input_transposed:
+        x_t = x1pp  # producer already emitted (H+2, Jp, B, 128)
+    else:
+        x_t = jnp.transpose(x1pp, (1, 2, 0, 3))  # (H+2, Jp, B, 128)
     out = pl.pallas_call(
         functools.partial(_stem_kernel, rows=band_rows, jp=jp, nb=nb),
         grid=(b // nb, n_bands),
