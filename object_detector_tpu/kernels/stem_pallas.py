@@ -133,20 +133,31 @@ def stem_halo_mask(h: int, w: int) -> np.ndarray:
     return (rows_ok & cols_ok[None])[None]
 
 
-def conv11_pair_acc(x: Array, w1r: Array, out_order: str = "NHWC") -> Array:
+def conv11_pair_acc(
+    x: Array, w1r: Array, out_order: str = "NHWC", pre_paired: bool = False
+) -> Array:
     """Input (B,H,W,Cin) -> odd-pair conv1_1 accumulator
     (B, H+2, W//2+2, 128) in int32 (or f32 for float x), WITH the row and
     pair-column halo conv1_2 needs. Implemented as a stride-1 conv over
     the pair-column reshape so XLA's good emitter (with epilogue fusion)
     handles it.
 
+    pre_paired=True: x is already (B, H, W//2, 2*Cin). Reshaping BEFORE
+    the producer's elementwise quantize (instead of here) lets XLA emit
+    the quantize output directly in the conv's operand layout — the
+    post-quantize reshape cost a 0.45 ms relayout copy at bs=64 (r3
+    profile, copy.41 at 71 GiB/s).
+
     out_order="HWNC" emits (H+2, W//2+2, B, 128) directly — the exact
     logical order `conv12_pool_pair(..., input_transposed=True)` consumes,
     removing the transpose from the XLA graph entirely (A/B vs. relying on
     XLA to bitcast the {3,0,2,1}-layout transpose;
     benchmarks/stem_experiments.py)."""
-    b, h, w, cin = x.shape
-    xr = x.reshape(b, h, w // 2, 2 * cin)
+    if pre_paired:
+        xr = x
+    else:
+        b, h, w, cin = x.shape
+        xr = x.reshape(b, h, w // 2, 2 * cin)
     dn = jax.lax.conv_dimension_numbers(
         xr.shape, w1r.shape, ("NHWC", "HWIO", out_order)
     )
@@ -178,6 +189,7 @@ def _stem_kernel(
     rows: int,  # conv1_2 output rows per band (= 2 * pool rows)
     jp: int,  # padded pair count (x1pp width)
     nb: int,  # batch elements per program (8 = one sublane tile)
+    out_width: int,  # true pooled width; pooled cols beyond it emit 0
 ):
     # NOTE on shapes: the tensors are LOGICALLY transposed to
     # (row, pair, batch, channel) so that the default pallas operand
@@ -278,12 +290,20 @@ def _stem_kernel(
     y = y.reshape(rows // 2, 2, jp * nb, 64)
     y = jnp.maximum(y[:, 0], y[:, 1])  # (rows//2, jp*nb, 64)
     q = jnp.clip(jnp.round(y / scale_ref[0, 0]), -127, 127).astype(jnp.int8)
+    # Zero the junk pooled columns (wrap garbage beyond the true pooled
+    # width) IN the emit: downstream can then consume the full Jp-wide
+    # tensor as if it were zero-padded — the launcher's slice to out_width
+    # cost a 0.57 ms materializing relayout at bs=64 (r3 profile,
+    # reshape.4); a zero-code column is exact conv padding for block 2.
+    q3 = q.reshape(rows // 2, jp, nb, 64)
+    pool_col = jax.lax.broadcasted_iota(jnp.int32, (1, jp, 1, 1), 1)
+    q3 = jnp.where(pool_col < out_width, q3, jnp.zeros_like(q3))
     # Pair-packed emit: lane = (pool-column parity m) * 64 + channel, so
     # the output uses all 128 lanes with NO duplicated half (the r2 kernel
     # duplicated the 64 channels to make the HBM DMA full-lane, doubling
     # the write traffic and the downstream unpack read). The launcher's
     # reshape (Jp//2, 128) -> (Jp, 64) is metadata-free.
-    q = q.reshape(rows // 2, jp // 2, 2, nb, 64)
+    q = q3.reshape(rows // 2, jp // 2, 2, nb, 64)
     # Reclaim this slot's output buffer (program n-2's copy) before
     # overwriting it; the copy itself drains asynchronously under the
     # successor programs' compute.
@@ -305,7 +325,7 @@ def _stem_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("out_width", "interpret", "band_rows",
-                     "input_transposed"),
+                     "input_transposed", "full_width"),
 )
 def conv12_pool_pair(
     x1pp: Array,  # (B, H+2, Jp, 128) s8 odd-pair conv1_1 codes
@@ -317,6 +337,7 @@ def conv12_pool_pair(
     interpret: bool | None = None,
     band_rows: int = 20,
     input_transposed: bool = False,  # x1pp already (H+2, Jp, B, 128)
+    full_width: bool = False,  # return all Jp cols (junk cols emit 0)
 ) -> Array:
     """Fused conv1_2+relu+requant+pool over the odd-pair layout.
 
@@ -324,6 +345,14 @@ def conv12_pool_pair(
     the (row, pair, batch, channel) logical transpose of both input and
     output so the pallas operand layouts match XLA's conv layouts on both
     sides (free bitcast-transposes; see _stem_kernel NOTE).
+
+    full_width=True skips the final slice and returns (B, H//2, Jp, 64)
+    with columns >= out_width exactly ZERO (the kernel masks them in the
+    emit). The slice to out_width materialized a relayout copy (0.57 ms
+    at bs=64, r3 profile reshape.4); callers can instead carry the
+    zero-padded width through block 2/3 — a zero int8 code column is
+    bit-exact SAME conv padding — and let the floor pools reconverge the
+    shape (see quant.engine.run_int8 junk-column tracking).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -348,7 +377,9 @@ def conv12_pool_pair(
     else:
         x_t = jnp.transpose(x1pp, (1, 2, 0, 3))  # (H+2, Jp, B, 128)
     out = pl.pallas_call(
-        functools.partial(_stem_kernel, rows=band_rows, jp=jp, nb=nb),
+        functools.partial(
+            _stem_kernel, rows=band_rows, jp=jp, nb=nb, out_width=out_width
+        ),
         grid=(b // nb, n_bands),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -387,4 +418,6 @@ def conv12_pool_pair(
     # columns (2u, 2u+1); columns >= out_width are halo/wrap junk.
     out = jnp.transpose(out, (2, 0, 1, 3))  # (B, H/2, Jp/2, 128)
     out = out.reshape(b, h // 2, jp, 64)
+    if full_width:
+        return out
     return out[:, :, :out_width, :]

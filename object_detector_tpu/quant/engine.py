@@ -25,6 +25,7 @@ per-output-channel; activations per-tensor from calibration batches.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -430,8 +431,14 @@ def run_float(
         elif isinstance(op, PoolOp):
             x = _pool(x, op)
         elif isinstance(op, PadToEvenOp):
-            if x.shape[1] % 2 == 1:
-                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+            pad_h = x.shape[1] % 2 == 1
+            pad_w = x.shape[2] % 2 == 1
+            if pad_h or pad_w:
+                x = jnp.pad(
+                    x,
+                    ((0, 0), (0, int(pad_h)), (0, int(pad_w)), (0, 0)),
+                    mode="edge",
+                )
         elif isinstance(op, TapOp):
             taps[op.index] = x
     return taps, absmax
@@ -592,11 +599,51 @@ def run_int8(
     dequantize_taps=False -> list of (int8 tap, scale) (for int8 heads)
     """
     in_scale = qp.act_scale["__input__"]
+    # When the fused Pallas stem will consume the input, fold the
+    # pair-column reshape in BEFORE the quantize elementwise so XLA emits
+    # the int8 codes directly in conv1_1pp's operand layout (the
+    # post-quantize reshape cost a 0.45 ms relayout at bs=64; see
+    # stem_pallas.conv11_pair_acc pre_paired).
+    pre_paired = (
+        bool(spec)
+        and isinstance(spec[0], FusedStemOp)
+        and not (images.shape[0] % 8 != 0 and jax.default_backend() == "tpu")
+    )
+    if pre_paired:
+        b0, h0, w0, c0 = images.shape
+        images = images.reshape(b0, h0, w0 // 2, 2 * c0)
     x = jnp.clip(jnp.round(images / in_scale), -127, 127).astype(jnp.int8)
     cur_scale = in_scale
 
     regs: Dict[str, Tuple[Array, float]] = {}
     taps: List[Any] = [None] * _num_taps(spec)
+    # Zero-padded-width carry-through (fused stem only): the Pallas stem
+    # emits its full Jp-wide tensor with columns >= junk_from exactly 0 —
+    # slicing to the true width cost a 0.57 ms relayout at bs=64. A zero
+    # int8 code column is bit-exact SAME-conv padding, so block 2/3 run
+    # at the padded width with the junk columns re-zeroed inside each
+    # conv's fused requant epilogue (one fused select, no extra HBM
+    # pass); the VALID pools floor the junk away and shapes reconverge
+    # at pool3 (300: 152->76->38; 512: 258->129->64). The PadToEvenOp
+    # ceil-pad is absorbed by a zero junk column exactly because relu'd
+    # codes are >= 0 (max(x, 0) == x == ceil-mode edge pool).
+    junk_from: Optional[int] = None
+
+    def _junk_mask(w: int) -> Array:
+        # Compile-time 0/1 f32 column mask, applied multiplicatively to
+        # the f32 epilogue BEFORE the requant convert: the whole
+        # dequant+bias+relu+mask+clip+convert chain stays one elementwise
+        # epilogue XLA fuses into the conv (an int8 select AFTER the
+        # convert compiled to a separate 147 GiB/s pass — measured
+        # broadcast_select_fusion.4/.6, 1.85 ms at bs=64).
+        import numpy as _np
+
+        return jnp.asarray(
+            (_np.arange(w) < junk_from).astype(_np.float32).reshape(
+                1, 1, w, 1
+            )
+        )
+
     for op in spec:
         if isinstance(op, ConvOp):
             acc = _conv(x, jnp.asarray(qp.w_int8[op.path]), op, jnp.int32)
@@ -611,6 +658,8 @@ def run_int8(
                 y = y + rq.astype(jnp.float32) * rs
             if op.relu:
                 y = jnp.maximum(y, 0.0)
+            if junk_from is not None and y.shape[2] > junk_from:
+                y = y * _junk_mask(y.shape[2])
             # NOTE: pooling in f32 here (pool commutes with requant) was
             # measured SLOWER — it breaks the conv+requant epilogue fusion
             # and materializes the f32 conv output to HBM. Keep requant
@@ -621,7 +670,8 @@ def run_int8(
         elif isinstance(op, FusedStemOp):
             from object_detector_tpu.kernels import stem_pallas
 
-            b_, h_img, w_img, _ = x.shape
+            b_, h_img, w_half, cin_ = x.shape
+            w_img = 2 * w_half if pre_paired else w_half
             if b_ % 8 != 0 and jax.default_backend() == "tpu":
                 # The TPU kernel tiles batch in sublanes (8 per program);
                 # odd batches run the equivalent unfused chain on the
@@ -645,7 +695,7 @@ def run_int8(
                 x = _pool(x, PoolOp())
                 continue
             acc = stem_pallas.conv11_pair_acc(
-                x, jnp.asarray(qp.w_int8[op.path1])
+                x, jnp.asarray(qp.w_int8[op.path1]), pre_paired=pre_paired
             )
             deq1 = cur_scale * jnp.asarray(qp.w_scale[op.path1])
             y = acc.astype(jnp.float32) * deq1 + jnp.asarray(qp.bias[op.path1])
@@ -656,6 +706,17 @@ def run_int8(
             # mask here costs a full 376 MB select pass.
             q = jnp.clip(jnp.round(y / s1), -127, 127).astype(jnp.int8)
             s2 = qp.act_scale[op.path2]
+            # MEASURED DEAD END (kept off-default, benchmarks/
+            # stem_carry_ab.py): carrying the zero-padded full width
+            # through block 2/3 (junk-column tracking below) instead of
+            # slicing here lost 1.3% headline (3336 vs 3380 img/s/chip
+            # interleaved same-session, v5e-1). The launcher's slice is
+            # fused into the unpack reshape — it was never a separate
+            # pass — while the junk re-zero selects compile to separate
+            # 147 GiB/s passes after conv3_1/conv3_2 (even expressed as a
+            # pre-requant f32 multiply, XLA keeps them out of the conv
+            # epilogue fusion). Bit-exact either way (test-enforced).
+            carry = os.environ.get("ODT_STEM_CARRY", "0") == "1"
             x = stem_pallas.conv12_pool_pair(
                 q,
                 jnp.asarray(qp.w_int8[op.path2]),
@@ -664,7 +725,10 @@ def run_int8(
                 s2,
                 out_width=w_img // 2,
                 band_rows=stem_pallas.stem_band_rows(h_img),
+                full_width=carry,
             )
+            if x.shape[2] > w_img // 2:
+                junk_from = w_img // 2
             cur_scale = s2
         elif isinstance(op, PackedConvPoolOp):
             # Requant BEFORE the group max: every group shares the same
@@ -694,15 +758,47 @@ def run_int8(
         elif isinstance(op, LoadOp):
             x, cur_scale = regs[op.name]
         elif isinstance(op, PoolOp):
+            if junk_from is not None and (
+                op.pad_same or op.explicit_pad is not None
+            ):
+                # Non-VALID pool windows would mix junk into true columns;
+                # reconverge first (current specs never hit this: junk
+                # clears at pool3, the SAME pool5 comes later).
+                x = x[:, :, :junk_from, :]
+                junk_from = None
             x = _pool(x, op)  # int8 max pool is exact
+            if junk_from is not None:
+                # VALID pool: junk columns pool to 0 (relu'd codes >= 0,
+                # junk re-zeroed each conv) or get floored away entirely.
+                junk_from = (junk_from - op.size) // op.stride + 1
+                if x.shape[2] <= junk_from:
+                    junk_from = None  # shape reconverged with the truth
         elif isinstance(op, PadToEvenOp):
-            if x.shape[1] % 2 == 1:
-                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+            pad_h = x.shape[1] % 2 == 1
+            true_w = junk_from if junk_from is not None else x.shape[2]
+            # Pad W only when the TRUE width is odd; with junk carry the
+            # zero junk column next to the last true column IS the ceil
+            # pad (max(code, 0) == code == edge-pool value), so no
+            # physical pad is needed — just count it as true.
+            pad_w = true_w % 2 == 1 and junk_from is None
+            if junk_from is not None and junk_from % 2 == 1:
+                junk_from += 1
+            if pad_h or pad_w:
+                x = jnp.pad(
+                    x,
+                    ((0, 0), (0, int(pad_h)), (0, int(pad_w)), (0, 0)),
+                    mode="edge",
+                )
         elif isinstance(op, TapOp):
+            xt = x
+            if junk_from is not None and xt.shape[2] > junk_from:
+                xt = xt[:, :, :junk_from, :]  # defensive; specs tap late
             if dequantize_taps:
-                taps[op.index] = x.astype(jnp.bfloat16) * jnp.bfloat16(cur_scale)
+                taps[op.index] = xt.astype(jnp.bfloat16) * jnp.bfloat16(
+                    cur_scale
+                )
             else:
-                taps[op.index] = (x, cur_scale)
+                taps[op.index] = (xt, cur_scale)
     return taps
 
 

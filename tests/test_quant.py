@@ -300,10 +300,44 @@ def test_pack_conv11_pair_square_equivalent():
     )
 
 
-def test_fused_stem_spec_full_trunk_parity(setup):
+@pytest.mark.parametrize("carry", ["0", "1"])
+def test_fused_stem_spec_full_trunk_parity(setup, monkeypatch, carry):
     """run_int8 over the fused-stem spec == the unfused spec, end to end
-    through the whole trunk (bit-exact block-1, identical downstream)."""
+    through the whole trunk (bit-exact block-1, identical downstream) —
+    in BOTH stem output modes: launcher slice (default) and zero-padded
+    full-width carry (ODT_STEM_CARRY=1, off-default dead end)."""
+    monkeypatch.setenv("ODT_STEM_CARRY", carry)
     cfg, model, params, x = setup
+    spec_a = engine.build_ssd_spec(cfg)
+    spec_b = engine.build_ssd_spec(cfg, fused_stem=True)
+    qp_a, _ = engine.quantize_ssd(cfg, params, [x], spec=spec_a)
+    qp_b, _ = engine.quantize_ssd(cfg, params, [x], spec=spec_b)
+    cls_a, box_a = engine.int8_forward(qp_a, spec_a, cfg, x)
+    cls_b, box_b = engine.int8_forward(qp_b, spec_b, cfg, x)
+    np.testing.assert_array_equal(np.asarray(cls_a), np.asarray(cls_b))
+    np.testing.assert_array_equal(np.asarray(box_a), np.asarray(box_b))
+
+
+def test_fused_stem_parity_odd_pool2_width(monkeypatch):
+    """End-to-end parity at image_size=60 with the zero-padded-width
+    CARRY path forced on (off by default — measured 1.3% slower, see
+    run_int8), where pool2's true width is ODD (15): the carry-through
+    must absorb the PadToEvenOp ceil pad with its zero junk column (the
+    SSD-300 shape path: 152 -> 76 -> PadToEven -> pool3; see run_int8
+    junk tracking). Feature maps stay (8, 4), so the tiny heads/anchors
+    are unchanged."""
+    import dataclasses
+
+    monkeypatch.setenv("ODT_STEM_CARRY", "1")
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, image_size=60)
+    )
+    model = SSDModel(cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-2.0, 2.0, (2, 60, 60, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    params = variables["params"]
     spec_a = engine.build_ssd_spec(cfg)
     spec_b = engine.build_ssd_spec(cfg, fused_stem=True)
     qp_a, _ = engine.quantize_ssd(cfg, params, [x], spec=spec_a)
