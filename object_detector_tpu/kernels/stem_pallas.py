@@ -134,7 +134,11 @@ def stem_halo_mask(h: int, w: int) -> np.ndarray:
 
 
 def conv11_pair_acc(
-    x: Array, w1r: Array, out_order: str = "NHWC", pre_paired: bool = False
+    x: Array,
+    w1r: Array,
+    out_order: str = "NHWC",
+    pre_paired: bool = False,
+    in_order: str = "NHWC",
 ) -> Array:
     """Input (B,H,W,Cin) -> odd-pair conv1_1 accumulator
     (B, H+2, W//2+2, 128) in int32 (or f32 for float x), WITH the row and
@@ -152,14 +156,28 @@ def conv11_pair_acc(
     logical order `conv12_pool_pair(..., input_transposed=True)` consumes,
     removing the transpose from the XLA graph entirely (A/B vs. relying on
     XLA to bitcast the {3,0,2,1}-layout transpose;
-    benchmarks/stem_experiments.py)."""
-    if pre_paired:
+    benchmarks/stem_experiments.py).
+
+    in_order="HWCN": x is (H, W//2, 2*Cin, B) pre-paired codes (the
+    serving batch staged channels-then-batch-minor on the host). XLA's
+    producer-conv emitter wants its input batch-minor ({0,3,2,1} on the
+    NHWC form — memory order (row, pair, ch, batch)); feeding NHWC cost
+    a 0.45 ms / 71 GiB/s relayout (r3 profile, copy.41). HWCN input IS
+    that memory order row-major, so the operand becomes a bitcast.
+    Implies pre_paired."""
+    if in_order == "HWCN":
+        assert pre_paired, "HWCN input must be pre-paired (H, W//2, 2C, B)"
         xr = x
+        lhs_spec = "HWCN"
     else:
-        b, h, w, cin = x.shape
-        xr = x.reshape(b, h, w // 2, 2 * cin)
+        if pre_paired:
+            xr = x
+        else:
+            b, h, w, cin = x.shape
+            xr = x.reshape(b, h, w // 2, 2 * cin)
+        lhs_spec = "NHWC"
     dn = jax.lax.conv_dimension_numbers(
-        xr.shape, w1r.shape, ("NHWC", "HWIO", out_order)
+        xr.shape, w1r.shape, (lhs_spec, "HWIO", out_order)
     )
     acc_t = jnp.int32 if x.dtype == jnp.int8 else jnp.float32
     pad_w = (1, 2) if w1r.shape[1] == 2 else (1, 3)

@@ -592,26 +592,43 @@ def run_int8(
     spec: Spec,
     images: Array,  # normalized float input (B, S, S, 3)
     dequantize_taps: bool = True,
+    input_hwcn: bool = False,  # images staged (S, S, 3, B) — see below
 ) -> List[Any]:
     """Int8 trunk forward.
 
     dequantize_taps=True  -> list of bf16 float taps (for float heads)
     dequantize_taps=False -> list of (int8 tap, scale) (for int8 heads)
+
+    input_hwcn=True: `images` is (S, S, 3, B) — the serving batch staged
+    batch-minor on the host (free at batch-assembly time). The fused-stem
+    producer conv consumes its operand in exactly that memory order, so
+    the 0.45 ms / 71 GiB/s batch-to-lanes relayout of the quantized codes
+    (r3 profile, copy.41) disappears. Bit-exact either way (the quantize
+    is elementwise). Only the fused-stem kernel path exploits it; other
+    specs/fallbacks transpose back to NHWC up front.
     """
     in_scale = qp.act_scale["__input__"]
     # When the fused Pallas stem will consume the input, fold the
     # pair-column reshape in BEFORE the quantize elementwise so XLA emits
     # the int8 codes directly in conv1_1pp's operand layout (the
-    # post-quantize reshape cost a 0.45 ms relayout at bs=64; see
+    # post-quantize reshape cost a 0.45 ms relayout copy at bs=64; see
     # stem_pallas.conv11_pair_acc pre_paired).
+    batch = images.shape[3] if input_hwcn else images.shape[0]
     pre_paired = (
         bool(spec)
         and isinstance(spec[0], FusedStemOp)
-        and not (images.shape[0] % 8 != 0 and jax.default_backend() == "tpu")
+        and not (batch % 8 != 0 and jax.default_backend() == "tpu")
     )
+    if input_hwcn and not pre_paired:
+        images = jnp.transpose(images, (3, 0, 1, 2))  # back to NHWC
+        input_hwcn = False
     if pre_paired:
-        b0, h0, w0, c0 = images.shape
-        images = images.reshape(b0, h0, w0 // 2, 2 * c0)
+        if input_hwcn:
+            h0, w0, c0, b0 = images.shape
+            images = images.reshape(h0, w0 // 2, 2 * c0, b0)
+        else:
+            b0, h0, w0, c0 = images.shape
+            images = images.reshape(b0, h0, w0 // 2, 2 * c0)
     x = jnp.clip(jnp.round(images / in_scale), -127, 127).astype(jnp.int8)
     cur_scale = in_scale
 
@@ -670,8 +687,12 @@ def run_int8(
         elif isinstance(op, FusedStemOp):
             from object_detector_tpu.kernels import stem_pallas
 
-            b_, h_img, w_half, cin_ = x.shape
-            w_img = 2 * w_half if pre_paired else w_half
+            if input_hwcn:
+                h_img, w_half, _, b_ = x.shape
+                w_img = 2 * w_half
+            else:
+                b_, h_img, w_half, cin_ = x.shape
+                w_img = 2 * w_half if pre_paired else w_half
             if b_ % 8 != 0 and jax.default_backend() == "tpu":
                 # The TPU kernel tiles batch in sublanes (8 per program);
                 # odd batches run the equivalent unfused chain on the
@@ -695,7 +716,11 @@ def run_int8(
                 x = _pool(x, PoolOp())
                 continue
             acc = stem_pallas.conv11_pair_acc(
-                x, jnp.asarray(qp.w_int8[op.path1]), pre_paired=pre_paired
+                x,
+                jnp.asarray(qp.w_int8[op.path1]),
+                out_order="HWNC" if input_hwcn else "NHWC",
+                pre_paired=pre_paired,
+                in_order="HWCN" if input_hwcn else "NHWC",
             )
             deq1 = cur_scale * jnp.asarray(qp.w_scale[op.path1])
             y = acc.astype(jnp.float32) * deq1 + jnp.asarray(qp.bias[op.path1])
@@ -725,6 +750,7 @@ def run_int8(
                 s2,
                 out_width=w_img // 2,
                 band_rows=stem_pallas.stem_band_rows(h_img),
+                input_transposed=input_hwcn,
                 full_width=carry,
             )
             if x.shape[2] > w_img // 2:
@@ -930,12 +956,17 @@ def int8_forward(
     cfg: DetectorConfig,
     images: Array,
     int8_heads: bool = True,
+    input_hwcn: bool = False,
 ) -> Tuple[Array, Array]:
-    """Normalized float images -> (cls_logits, box_offsets), int8 trunk."""
+    """Normalized float images -> (cls_logits, box_offsets), int8 trunk.
+
+    input_hwcn: images staged (S, S, 3, B) — see run_int8."""
     if int8_heads:
-        taps_q = run_int8(qp, spec, images, dequantize_taps=False)
+        taps_q = run_int8(
+            qp, spec, images, dequantize_taps=False, input_hwcn=input_hwcn
+        )
         return apply_heads_int8(qp, taps_q, cfg)
-    taps = run_int8(qp, spec, images)
+    taps = run_int8(qp, spec, images, input_hwcn=input_hwcn)
     return apply_heads(qp.float_params, taps, cfg)
 
 

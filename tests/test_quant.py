@@ -300,6 +300,21 @@ def test_pack_conv11_pair_square_equivalent():
     )
 
 
+def test_fused_stem_input_hwcn_parity(setup):
+    """int8_forward(input_hwcn=True) on the (S,S,3,B)-staged batch ==
+    the NHWC result, bit-exact: the quantize is elementwise and the
+    fused-stem producer consumes the HWCN operand directly (the layout
+    exists to kill the 0.45 ms batch-to-lanes relayout, copy.41)."""
+    cfg, model, params, x = setup
+    spec = engine.build_ssd_spec(cfg, fused_stem=True)
+    qp, _ = engine.quantize_ssd(cfg, params, [x], spec=spec)
+    cls_a, box_a = engine.int8_forward(qp, spec, cfg, x)
+    x_t = jnp.transpose(x, (1, 2, 3, 0))
+    cls_b, box_b = engine.int8_forward(qp, spec, cfg, x_t, input_hwcn=True)
+    np.testing.assert_array_equal(np.asarray(cls_a), np.asarray(cls_b))
+    np.testing.assert_array_equal(np.asarray(box_a), np.asarray(box_b))
+
+
 @pytest.mark.parametrize("carry", ["0", "1"])
 def test_fused_stem_spec_full_trunk_parity(setup, monkeypatch, carry):
     """run_int8 over the fused-stem spec == the unfused spec, end to end
