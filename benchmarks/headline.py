@@ -175,7 +175,7 @@ ROWS = {
         "ssd300_infer_bs64", 64, fused_stem=False
     ),
     "ssd300_bf16": lambda: _bench_bf16("ssd300_infer_bs64", 64),
-    "ssd512_int8": lambda: _bench_int8("ssd512_resnet50_coco", 32),
+    "ssd512_int8": lambda: _bench_int8("ssd512_resnet50_coco", 64),
     "ssd512_bf16": lambda: _bench_bf16("ssd512_resnet50_coco", 32),
     "retinanet_int8": lambda: _bench_int8("retinanet_fpn_coco", 32),
     "retinanet_bf16": lambda: _bench_bf16("retinanet_fpn_coco", 32),
