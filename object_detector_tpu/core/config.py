@@ -188,6 +188,12 @@ class EvalConfig:
     # to an uncapped per-class scan (survivors ranked below max_detections
     # within one class can never enter the global top-k merge).
     nms_max_per_class: int = 100
+    # Single-key packed-int sort for the prefilter/merge top-k (index in
+    # the low key bits) instead of XLA's variadic (value, iota) sort.
+    # Near-exact (ties within ~2^-9 relative score collapse; output scores
+    # re-gathered exactly) — see ops/packsort.py. Off until the on-chip
+    # A/B justifies it.
+    nms_packed_sort: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

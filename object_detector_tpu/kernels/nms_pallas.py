@@ -127,16 +127,27 @@ def _merge_survivors(
     num_classes: int,
     n_out: int,
     max_detections: int,
+    packed_sort: bool = False,
 ) -> Detections:
     """Cross-class merge per image over COMPACT survivor lists (C * n_out
-    entries vs C * M candidates — 5x smaller sort at the default config)."""
+    entries vs C * M candidates — 5x smaller sort at the default config).
+
+    packed_sort: single-key int32 sort instead of the variadic
+    (score, iota) top_k; output scores stay exact (gathered through the
+    selected indices) — see ops/packsort.py for the tie contract."""
     total = num_classes * n_out
     flat_scores = kept_s.reshape(batch, total)
     flat_cols = kept_c.reshape(batch, total)
     if total < max_detections:  # tiny configs: pad with empty slots
         flat_scores = jnp.pad(flat_scores, ((0, 0), (0, max_detections - total)))
         flat_cols = jnp.pad(flat_cols, ((0, 0), (0, max_detections - total)))
-    merged_scores, merged_idx = jax.lax.top_k(flat_scores, max_detections)
+    if packed_sort:
+        from object_detector_tpu.ops.packsort import top_k_packed_idx
+
+        merged_idx = top_k_packed_idx(flat_scores, max_detections)
+        merged_scores = jnp.take_along_axis(flat_scores, merged_idx, axis=1)
+    else:
+        merged_scores, merged_idx = jax.lax.top_k(flat_scores, max_detections)
     anchor_idx = jnp.take_along_axis(flat_cols, merged_idx, axis=1)
     out_boxes = jnp.take_along_axis(cand_boxes, anchor_idx[..., None], axis=1)
     out_classes = jnp.minimum(merged_idx // n_out, num_classes - 1).astype(
@@ -226,6 +237,7 @@ def _nms_rows(
     static_argnames=(
         "score_threshold", "iou_threshold", "pre_nms_top_k", "max_detections",
         "max_per_class", "interpret", "exact_prefilter", "recall_target",
+        "packed_sort",
     ),
 )
 def pallas_per_class_nms_batched(
@@ -240,6 +252,7 @@ def pallas_per_class_nms_batched(
     interpret: bool | None = None,
     exact_prefilter: bool = False,
     recall_target: float = 0.95,
+    packed_sort: bool = False,
 ) -> Detections:
     """Batched per-class NMS. All B*C (image, class) problems become kernel
     rows — one pallas_call for the whole batch (do NOT vmap this; the batch
@@ -278,7 +291,11 @@ def pallas_per_class_nms_batched(
         # TPU-native partial-reduction top-k (the argmax-emit kernel needs
         # candidate recall, not ordering).
         agnostic = jnp.max(scores, axis=-1)  # (B, A)
-        if interpret or exact_prefilter:
+        if packed_sort:
+            from object_detector_tpu.ops.packsort import top_k_packed_idx
+
+            aidx = top_k_packed_idx(agnostic, m_eff)  # (B, M)
+        elif interpret or exact_prefilter:
             _, aidx = jax.lax.top_k(agnostic, m_eff)  # (B, M)
         else:
             _, aidx = jax.lax.approx_max_k(
@@ -312,7 +329,8 @@ def pallas_per_class_nms_batched(
     )
 
     return _merge_survivors(
-        kept_s, kept_c, cand_boxes, batch, num_classes, n_out, max_detections
+        kept_s, kept_c, cand_boxes, batch, num_classes, n_out, max_detections,
+        packed_sort=packed_sort,
     )
 
 
@@ -334,7 +352,7 @@ def pallas_per_class_nms(
     static_argnames=(
         "score_threshold", "iou_threshold", "pre_nms_top_k", "max_detections",
         "max_per_class", "center_variance", "size_variance", "interpret",
-        "exact_prefilter", "recall_target",
+        "exact_prefilter", "recall_target", "packed_sort",
     ),
 )
 def pallas_decode_nms(
@@ -352,6 +370,7 @@ def pallas_decode_nms(
     interpret: bool | None = None,
     exact_prefilter: bool = False,
     recall_target: float = 0.95,
+    packed_sort: bool = False,
 ) -> Detections:
     """Fused candidate-sparse postprocess: the anchor pre-filter runs on
     LOGITS (sigmoid is monotone, so top-M by max-class logit == top-M by
@@ -380,7 +399,11 @@ def pallas_decode_nms(
         )
     else:
         agnostic = jnp.max(cls_logits, axis=-1)  # (B, A)
-        if interpret or exact_prefilter:
+        if packed_sort:
+            from object_detector_tpu.ops.packsort import top_k_packed_idx
+
+            aidx = top_k_packed_idx(agnostic, m_eff)
+        elif interpret or exact_prefilter:
             _, aidx = jax.lax.top_k(agnostic, m_eff)
         else:
             _, aidx = jax.lax.approx_max_k(
@@ -418,5 +441,6 @@ def pallas_decode_nms(
     )
 
     return _merge_survivors(
-        kept_s, kept_c, cand_boxes, batch, num_classes, n_out, max_detections
+        kept_s, kept_c, cand_boxes, batch, num_classes, n_out, max_detections,
+        packed_sort=packed_sort,
     )

@@ -58,6 +58,7 @@ def postprocess(
             size_variance=cfg.anchors.size_variance,
             exact_prefilter=cfg.eval.nms_exact_prefilter,
             recall_target=cfg.eval.nms_recall_target,
+            packed_sort=cfg.eval.nms_packed_sort,
         )
 
     scores = scores_from_logits(cls_logits.astype(jnp.float32), cfg.model.family)
