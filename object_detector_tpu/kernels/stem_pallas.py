@@ -439,3 +439,269 @@ def conv12_pool_pair(
     if full_width:
         return out
     return out[:, :, :out_width, :]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused stem: conv1_1 INSIDE the kernel (r3 producer-fusion lever)
+# ---------------------------------------------------------------------------
+#
+# The r3 HLO profile prices the producer chain feeding conv12_pool_pair at
+# copy.41 0.45 ms (input relayout) + producer conv 0.88 ms, and the kernel
+# itself reads the 376 MB odd-pair int8 intermediate back from HBM. Fusing
+# conv1_1 into the kernel removes that intermediate entirely: the host
+# stacks the six (ky, kj) input taps channel-wise (36 int8 lanes, 106 MB
+# at SSD-300 bs=64 — a pure pad+slice+concat XLA emits from the quantize)
+# and the kernel computes the odd-pair conv1_1 as ONE K=36 int8 dot per
+# band, applies the conv1_1 epilogue + halo masking in VMEM, and feeds the
+# existing conv1_2 flat-shift pipeline. Same MACs, same f32 epilogue order
+# -> bit-exact vs the two-stage path (test-enforced).
+
+
+def pack_conv11_flat(w1r: np.ndarray) -> np.ndarray:
+    """(3, 2, 2*Cin, 2C) odd-pair conv1_1 kernel -> (6*2*Cin, 2C) flat
+    weights for the in-kernel tap-stacked dot: row (2*ky+kj)*2Cin + c
+    contracts x6 lane group t=(2*ky+kj), channel c."""
+    kh, kw, c2in, c2out = w1r.shape
+    assert (kh, kw) == (3, 2)
+    return np.asarray(w1r).reshape(kh * kw * c2in, c2out)
+
+
+def build_stem_x6(codes_pp: Array) -> Array:
+    """(B, H, W//2, 2*Cin) pre-paired quantized input codes -> the
+    tap-stacked conv1_1 operand (B, H+2, Jp, 6*Cin) with Jp = W//2 + 2:
+    x6[b, R, J, t*2Cin + c] = codes_pp[b, R+ky-2, J+kj-1, c] for
+    t = 2*ky + kj (zero outside the image — conv1_1's own zero padding,
+    so the kernel's dot needs no pad handling at all)."""
+    b, h, wh, c2 = codes_pp.shape
+    jp = wh + 2
+    pad = jnp.pad(codes_pp, ((0, 0), (2, 2), (1, 2), (0, 0)))
+    taps = [
+        pad[:, ky : ky + h + 2, kj : kj + jp, :]
+        for ky in range(3)
+        for kj in range(2)
+    ]
+    return jnp.concatenate(taps, axis=-1)
+
+
+def _stem_fp_kernel(
+    x_hbm,  # ANY (H+2, Jp, B, 36) s8 tap-stacked input codes
+    w1_ref,  # VMEM (36, 128) s8 flat odd-pair conv1_1
+    w2_ref,  # VMEM (6, 128, 128) s8 packed conv1_2
+    mask_ref,  # VMEM (1, Jp, 1, 128) s8 column-halo mask (1=real, 0=halo)
+    deq1_ref,  # VMEM (1, 128) f32 conv1_1 dequant (input scale included)
+    bias1_ref,  # VMEM (1, 128) f32
+    deq2_ref,  # VMEM (1, 128) f32 conv1_2 dequant (s1 included)
+    bias2_ref,  # VMEM (1, 128) f32
+    scales_ref,  # SMEM (1, 2) f32 requant scales (s1, s2)
+    out_hbm,  # ANY (H/2, Jp//2, B, 128) s8 pair-packed pooled output
+    x_vmem,  # scratch (2, rows+3, Jp, nb, 36) s8 double-buffered
+    out_vmem,  # scratch (2, rows//2, Jp//2, nb, 128) s8 double-buffered
+    in_sems,
+    out_sems,
+    *,
+    rows: int,
+    jp: int,
+    nb: int,
+    out_width: int,
+):
+    # Same DMA skeleton as _stem_kernel (double-buffered across programs),
+    # but the HBM operand is the 36-lane tap stack (106 MB at SSD-300
+    # bs=64) instead of the 376 MB conv1_1 codes.
+    g = pl.program_id(0)
+    band = pl.program_id(1)
+    n_bands = pl.num_programs(1)
+    n_total = pl.num_programs(0) * n_bands
+    n = g * n_bands + band
+    slot = jax.lax.rem(n, 2)
+
+    def in_copy(g_, band_, slot_):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(band_ * rows, rows + 2), :, pl.ds(g_ * nb, nb)],
+            x_vmem.at[slot_, pl.ds(0, rows + 2)],
+            in_sems.at[slot_],
+        )
+
+    def out_copy(g_, band_, slot_):
+        return pltpu.make_async_copy(
+            out_vmem.at[slot_],
+            out_hbm.at[
+                pl.ds(band_ * (rows // 2), rows // 2), :, pl.ds(g_ * nb, nb)
+            ],
+            out_sems.at[slot_],
+        )
+
+    @pl.when(n == 0)
+    def _():
+        in_copy(g, band, slot).start()
+
+    in_copy(g, band, slot).wait()
+
+    wrap = band + 1 == n_bands
+    band_nxt = jnp.where(wrap, 0, band + 1)
+    g_nxt = g + wrap.astype(jnp.int32)
+
+    @pl.when(n + 1 < n_total)
+    def _():
+        in_copy(g_nxt, band_nxt, 1 - slot).start()
+
+    # conv1_1: one K=36 int8 dot over the whole band (structural zeros of
+    # the odd-pair packing included in w1 — 19.9 GOP total at SSD-300
+    # bs=64, ~15% of the band's MXU work). Row rows+2 of the scratch is
+    # stale garbage, exactly like _stem_kernel: it only ever reaches
+    # wrap-junk output columns, which the emit zeroes.
+    xv6 = x_vmem[slot]  # (rows+3, jp, nb, 36)
+    m3 = (rows + 3) * jp * nb
+    acc1 = jax.lax.dot_general(
+        xv6.reshape(m3, 36),
+        w1_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y1 = acc1.astype(jnp.float32) * deq1_ref[:] + bias1_ref[:]
+    y1 = jnp.maximum(y1, 0.0)
+    q1 = jnp.clip(
+        jnp.round(y1 / scales_ref[0, 0]), -127, 127
+    ).astype(jnp.int8)
+    codes1 = q1.reshape(rows + 3, jp, nb, 128)
+
+    # Halo zeroing (value select, same contract as _stem_kernel): padded
+    # taps make the halo a partial sum + bias + relu + requant, which must
+    # read as ZERO codes (conv1_2's zero padding).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows + 3, 1, 1, 1), 0)
+    row_halo = ((band == 0) & (row_ids == 0)) | (
+        (band == n_bands - 1) & (row_ids == rows + 1)
+    )
+    keep = (mask_ref[:] != 0) & jnp.logical_not(row_halo)
+    codes1 = jnp.where(keep, codes1, jnp.zeros_like(codes1))
+
+    flat = codes1.reshape(m3, 128)
+    m = rows * jp * nb
+    acc = jnp.zeros((m, 128), jnp.int32)
+    for ky in range(3):
+        for kj in range(2):
+            t = 2 * ky + kj
+            off = (ky * jp + kj) * nb
+            acc += jax.lax.dot_general(
+                flat[off : off + m],
+                w2_ref[t],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    y = acc.astype(jnp.float32) * deq2_ref[:] + bias2_ref[:]
+    y = jnp.maximum(y, 0.0)
+    y = jnp.maximum(y[:, :64], y[:, 64:])
+    y = y.reshape(rows // 2, 2, jp * nb, 64)
+    y = jnp.maximum(y[:, 0], y[:, 1])
+    q = jnp.clip(
+        jnp.round(y / scales_ref[0, 1]), -127, 127
+    ).astype(jnp.int8)
+    q3 = q.reshape(rows // 2, jp, nb, 64)
+    pool_col = jax.lax.broadcasted_iota(jnp.int32, (1, jp, 1, 1), 1)
+    q3 = jnp.where(pool_col < out_width, q3, jnp.zeros_like(q3))
+    q = q3.reshape(rows // 2, jp // 2, 2, nb, 64)
+
+    @pl.when(n >= 2)
+    def _():
+        out_copy(g, band, slot).wait()
+
+    out_vmem[slot, :, :, :, 0:64] = q[:, :, 0]
+    out_vmem[slot, :, :, :, 64:128] = q[:, :, 1]
+    out_copy(g, band, slot).start()
+
+    @pl.when(n == n_total - 1)
+    def _():
+        if n_total > 1:
+            out_copy(g, band, 1 - slot).wait()
+        out_copy(g, band, slot).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_width", "interpret", "band_rows", "full_width"),
+)
+def stem_fused_producer(
+    codes_pp: Array,  # (B, H, W//2, 2*Cin) s8 pre-paired input codes
+    w1flat: Array,  # (36, 128) s8
+    deq1: Array,  # (128,) f32 — in_scale * w1_scale
+    bias1: Array,  # (128,) f32
+    s1: Array,  # scalar f32 conv1_1 activation scale
+    w2pp: Array,  # (6, 128, 128) s8
+    deq2: Array,  # (128,) f32 — s1 * w2_scale
+    bias2: Array,  # (128,) f32
+    s2: Array,  # scalar f32 conv1_2 activation scale
+    out_width: int,
+    interpret: bool | None = None,
+    band_rows: int = 20,
+    full_width: bool = False,
+) -> Array:
+    """Whole VGG block 1 (conv1_1 + conv1_2 + relu + requant + pool) as one
+    Pallas kernel over the tap-stacked input. Bit-exact vs the two-stage
+    conv11_pair_acc -> conv12_pool_pair path (same int MACs, same f32
+    epilogue order); returns (B, H//2, out_width, 64) int8 codes."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, wh, _ = codes_pp.shape
+    jp = wh + 2
+    assert h % band_rows == 0, (h, band_rows)
+    n_bands = h // band_rows
+    nb = 8 if b % 8 == 0 else 1
+
+    x6 = build_stem_x6(codes_pp)  # (B, H+2, Jp, 36)
+    x_t = jnp.transpose(x6, (1, 2, 0, 3))  # (H+2, Jp, B, 36)
+
+    w_true = 2 * (jp - 2)
+    col = 2 * np.arange(jp)[:, None] + (np.arange(128)[None, :] >= 64) - 1
+    mask = ((col >= 0) & (col < w_true)).astype(np.int8)
+    scales = jnp.stack(
+        [jnp.asarray(s1, jnp.float32), jnp.asarray(s2, jnp.float32)]
+    ).reshape(1, 2)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _stem_fp_kernel, rows=band_rows, jp=jp, nb=nb, out_width=out_width
+        ),
+        grid=(b // nb, n_bands),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((36, 128), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, 128, 128), lambda i, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jp, 1, 128), lambda i, r: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i, r: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((h // 2, jp // 2, b, 128), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((2, band_rows + 3, jp, nb, 36), jnp.int8),
+            pltpu.VMEM((2, band_rows // 2, jp // 2, nb, 128), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        x_t,
+        w1flat,
+        w2pp,
+        jnp.asarray(mask).reshape(1, jp, 1, 128),
+        deq1.reshape(1, 128),
+        bias1.reshape(1, 128),
+        deq2.reshape(1, 128),
+        bias2.reshape(1, 128),
+        scales,
+    )
+    out = jnp.transpose(out, (2, 0, 1, 3))  # (B, H/2, Jp/2, 128)
+    out = out.reshape(b, h // 2, jp, 64)
+    if full_width:
+        return out
+    return out[:, :, :out_width, :]

@@ -715,9 +715,41 @@ def run_int8(
                     cur_scale = out_scale
                 x = _pool(x, PoolOp())
                 continue
+            w1r = jnp.asarray(qp.w_int8[op.path1])
+            # Fully-fused stem (conv1_1 inside the kernel over the
+            # tap-stacked 36-lane input — no 376 MB odd-pair intermediate;
+            # see stem_pallas._stem_fp_kernel). Bit-exact vs the two-stage
+            # path (test-enforced); trace-time env knob like
+            # ODT_STEM_CARRY, pending the on-chip A/B
+            # (benchmarks/stem_fp_ab.py). Square-packed w1 (A/B variant)
+            # has no flat form — falls through to the two-stage path.
+            if (
+                os.environ.get("ODT_STEM_FP", "0") == "1"
+                and w1r.shape[1] == 2
+            ):
+                xin = (
+                    jnp.transpose(x, (3, 0, 1, 2)) if input_hwcn else x
+                )
+                s1 = qp.act_scale[op.path1]
+                s2 = qp.act_scale[op.path2]
+                x = stem_pallas.stem_fused_producer(
+                    xin,
+                    w1r.reshape(-1, w1r.shape[-1]),
+                    cur_scale * jnp.asarray(qp.w_scale[op.path1]),
+                    jnp.asarray(qp.bias[op.path1]),
+                    s1,
+                    jnp.asarray(qp.w_int8[op.path2]),
+                    s1 * jnp.asarray(qp.w_scale[op.path2]),
+                    jnp.asarray(qp.bias[op.path2]),
+                    s2,
+                    out_width=w_img // 2,
+                    band_rows=stem_pallas.stem_band_rows(h_img),
+                )
+                cur_scale = s2
+                continue
             acc = stem_pallas.conv11_pair_acc(
                 x,
-                jnp.asarray(qp.w_int8[op.path1]),
+                w1r,
                 out_order="HWNC" if input_hwcn else "NHWC",
                 pre_paired=pre_paired,
                 in_order="HWCN" if input_hwcn else "NHWC",

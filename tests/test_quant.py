@@ -361,3 +361,85 @@ def test_fused_stem_parity_odd_pool2_width(monkeypatch):
     cls_b, box_b = engine.int8_forward(qp_b, spec_b, cfg, x)
     np.testing.assert_array_equal(np.asarray(cls_a), np.asarray(cls_b))
     np.testing.assert_array_equal(np.asarray(box_a), np.asarray(box_b))
+
+
+def test_stem_fused_producer_matches_two_stage():
+    """The fully-fused stem (conv1_1 in-kernel over the tap-stacked input,
+    stem_pallas.stem_fused_producer) == the unfused int8 chain, bit-exact:
+    same int32 MACs (x6 @ w1flat is the odd-pair conv by construction),
+    same f32 epilogue order, same halo masking."""
+    import numpy as np
+
+    from object_detector_tpu.kernels import stem_pallas
+
+    rng = np.random.default_rng(7)
+    B, H, W = 2, 20, 20
+    x_q = jnp.asarray(rng.integers(-9, 10, (B, H, W, 3), dtype=np.int8))
+    w1 = rng.integers(-9, 10, (3, 3, 3, 64)).astype(np.int8)
+    w2 = rng.integers(-9, 10, (3, 3, 64, 64)).astype(np.int8)
+    deq1 = (rng.random(64).astype(np.float32) + 0.5) * 1e-2
+    b1 = rng.normal(size=64).astype(np.float32) * 0.1
+    deq2 = (rng.random(64).astype(np.float32) + 0.5) * 1e-2
+    b2 = rng.normal(size=64).astype(np.float32) * 0.1
+    s1, s2 = 0.043, 0.021
+
+    def conv(x, w):
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        return jax.lax.conv_general_dilated(
+            x, jnp.asarray(w), (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+
+    def requant(acc, deq, b, s):
+        y = jnp.maximum(acc.astype(jnp.float32) * deq + b, 0.0)
+        return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+
+    q1 = requant(conv(x_q, w1), deq1, b1, s1)
+    q2 = requant(conv(q1, w2), deq2, b2, s2)
+    ref = jax.lax.reduce_window(
+        q2, jnp.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+    w1r = stem_pallas.pack_conv11_pair(w1)
+    w1flat = stem_pallas.pack_conv11_flat(w1r)
+    # x6 @ w1flat must equal the producer conv's accumulator exactly.
+    codes_pp = x_q.reshape(B, H, W // 2, 6)
+    x6 = stem_pallas.build_stem_x6(codes_pp)
+    acc_ref = stem_pallas.conv11_pair_acc(x_q, jnp.asarray(w1r))
+    acc_x6 = jax.lax.dot_general(
+        x6.astype(jnp.int32), jnp.asarray(w1flat, jnp.int32),
+        (((3,), (0,)), ((), ())),
+    )
+    np.testing.assert_array_equal(np.asarray(acc_x6), np.asarray(acc_ref))
+
+    for band_rows in (20, 10):
+        got = stem_pallas.stem_fused_producer(
+            codes_pp,
+            jnp.asarray(w1flat),
+            jnp.asarray(np.tile(deq1, 2)),
+            jnp.asarray(np.tile(b1, 2)),
+            jnp.float32(s1),
+            jnp.asarray(stem_pallas.pack_conv12_pair(w2)),
+            jnp.asarray(np.tile(deq2, 2)),
+            jnp.asarray(np.tile(b2, 2)),
+            jnp.float32(s2),
+            out_width=W // 2,
+            interpret=True,
+            band_rows=band_rows,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_stem_spec_fp_env_parity(setup, monkeypatch):
+    """run_int8 with ODT_STEM_FP=1 (fully-fused stem) == the default
+    two-stage fused path, end to end through heads, bit-exact."""
+    cfg, model, params, x = setup
+    spec = engine.build_ssd_spec(cfg, fused_stem=True)
+    qp, _ = engine.quantize_ssd(cfg, params, [x], spec=spec)
+    cls_a, box_a = engine.int8_forward(qp, spec, cfg, x)
+    monkeypatch.setenv("ODT_STEM_FP", "1")
+    cls_b, box_b = engine.int8_forward(qp, spec, cfg, x)
+    np.testing.assert_array_equal(np.asarray(cls_a), np.asarray(cls_b))
+    np.testing.assert_array_equal(np.asarray(box_a), np.asarray(box_b))
