@@ -23,18 +23,27 @@ Exactness: same int8 MACs in int32, same f32 epilogue as the unfused
 engine path; pool commutes with the (monotone) requant. Parity test:
 tests/test_quant.py::test_fused_stem_matches_unfused.
 
-STATUS (r2, v5e-1, bs=64): ON by default for TPU (engine.build_spec
-auto). Fused trunk 15.0 ms vs 15.9 unfused. Breakdown: pair conv1_1
-0.88 ms (vs 1.70 plain — full 128 output lanes), kernel 2.86 ms (vs
-2.79 conv1_2 + 1.29 pool1), remaining ~1.0 ms is the output-side
-layout seam (slice of the duplicated channel half + relayout into
-conv2_1's input layout) — the known next lever. The decisive fix was
+STATUS (r3, v5e-1, bs=64): ON by default for TPU (engine.build_spec
+auto); headline A/B stem ON 3283 vs OFF 3157 img/s/chip
+(benchmarks/headline_results.json). r3 chain breakdown (HLO profile):
+input relayout copy.41 0.45 + producer conv 0.88 + kernel 2.13
+(double-buffered DMA) + output unpack 0.85 ms. The decisive r2 fix was
 operand-layout matching: pallas defaults to row-major operand layouts
 while XLA's conv emitters produce {3,0,2,1}, which both blocked the
 conv's requant-epilogue fusion and forced a 1.5 GB s32 relayout; the
 logically-transposed (row, pair, batch, channel) interface makes the
 transposes bitcasts. Batch is tiled in sublanes, so each program
 handles 8 images and all tap offsets are 8-aligned.
+
+r3 A/B'd variants: pair-packed emit + in-kernel halo masking (the r2
+~0.57 ms output slice seam — WON, default), cross-program DMA double
+buffering (WON, default), HWNC producer direct-emit (wash, off),
+zero-pad width carry-through (1.3% slower, off, ODT_STEM_CARRY),
+HWCN input staging (pending chip, benchmarks/input_layout_ab.py),
+fully-fused producer `stem_fused_producer` (conv1_1 in-kernel over the
+36-lane tap stack — kills copy.41 + producer + the 376 MB intermediate;
+bit-exact in interpret mode; pending on-chip A/B, ODT_STEM_FP,
+benchmarks/stem_fp_ab.py).
 
 Weight packing helpers live here so the quant engine and tests share one
 source of truth.
