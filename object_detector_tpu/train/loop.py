@@ -78,6 +78,17 @@ def train(
             if restored is not None:
                 state, rng, data_step = restored
                 log.info("resumed from step %d", int(state.step))
+        elif ckpt_mgr.latest_step() is not None:
+            # Without this, orbax silently refuses every save at steps <=
+            # the existing latest step: the run "trains" but the directory
+            # keeps serving the OLD (possibly different-model) checkpoint
+            # to evaluate/predict. Found by a verify drive against a stale
+            # /tmp checkpoint dir.
+            raise ValueError(
+                f"checkpoint dir {ckpt_dir} already has a checkpoint at "
+                f"step {ckpt_mgr.latest_step()}; pass --resume to continue "
+                "it or point --checkpoint at a fresh directory"
+            )
 
     cache = DecodedCache(
         dataset, cfg.model.image_size, cfg.data.max_boxes, cfg.data.num_workers,

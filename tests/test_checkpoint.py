@@ -41,3 +41,24 @@ def test_restore_none_when_empty(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "empty"), keep=1, save_every=1)
     assert mgr.restore(state, jax.random.key(0)) is None
     mgr.close()
+
+
+@pytest.mark.slow
+def test_train_refuses_stale_checkpoint_dir_without_resume(tmp_path):
+    """Training into a directory that already holds a checkpoint must fail
+    loudly unless --resume: orbax silently refuses saves at steps <= the
+    existing latest step, so the run would 'train' while the directory
+    keeps serving the old (possibly different-model) checkpoint."""
+    from object_detector_tpu.data.synthetic import make_synthetic_dataset
+    from object_detector_tpu.train.loop import train
+
+    cfg = tiny_test_config().override(
+        {"train.num_steps": 1, "train.checkpoint_every": 1}
+    )
+    dataset = make_synthetic_dataset(num_images=8, image_size=64)
+    ckpt = str(tmp_path / "ckpt")
+    train(cfg, dataset, checkpoint_dir=ckpt)
+    with pytest.raises(ValueError, match="already has a checkpoint"):
+        train(cfg, dataset, checkpoint_dir=ckpt)
+    # resume=True continues instead (num_steps already reached -> no-op).
+    train(cfg, dataset, checkpoint_dir=ckpt, resume=True)
