@@ -70,6 +70,24 @@ def _measure_latency(timeout_s: int = 540) -> dict:
     return {"p50_latency_ms_bs1": None}
 
 
+def _probe_backend(timeout_s: int = 120) -> str:
+    """Bounded backend probe in a clean subprocess. Returns "tpu"/"cpu"/
+    ... or "hang" if client init never answers (e.g. the axon tunnel is
+    wedged by a previously killed client — in that state ANY jax import
+    in this process would block forever, so the caller must bail out
+    instead of binding the TPU)."""
+    env = {k: v for k, v in os.environ.items() if k != "LIBTPU_INIT_ARGS"}
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return "hang"
+    lines = probe.stdout.strip().splitlines()
+    return lines[-1] if lines else f"error rc={probe.returncode}"
+
+
 def _measure_train(timeout_s: int = 540) -> dict:
     """Train-step throughput (BASELINE config #4 unit: bs=32 per-chip) in a
     clean subprocess, before the parent binds the TPU — same isolation
@@ -77,17 +95,10 @@ def _measure_train(timeout_s: int = 540) -> dict:
     inference-tuned, and two live clients on the single tunneled chip
     deadlock)."""
     env = {k: v for k, v in os.environ.items() if k != "LIBTPU_INIT_ARGS"}
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
-            capture_output=True, text=True, timeout=120, env=env,
-        )
-    except subprocess.TimeoutExpired:
-        print("[bench] backend probe timed out; skipping train bench",
-              file=sys.stderr)
-        return {"train_images_per_sec_chip": None}
-    if probe.stdout.strip().splitlines()[-1:] != ["tpu"]:
+    if _probe_backend() != "tpu":
         # bs=32 at 300px is minutes/step on CPU — only measure on TPU.
+        print("[bench] backend is not a healthy tpu; skipping train bench",
+              file=sys.stderr)
         return {"train_images_per_sec_chip": None}
     script = os.path.join(_HERE, "benchmarks", "train_bench.py")
     try:
@@ -121,6 +132,28 @@ def _measure_train(timeout_s: int = 540) -> dict:
 
 
 def main() -> None:
+    # Wedged-tunnel guard FIRST: if a previously killed client left the
+    # axon pool holding a stale claim, every jax client init on this host
+    # hangs forever. A hung parent here means the driver records NOTHING —
+    # emit an honest null record instead.
+    backend = _probe_backend()
+    if backend == "hang":
+        print(
+            "[bench] TPU client init HANGS (wedged axon tunnel); "
+            "emitting null record",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "ssd300_inference_images_per_sec_per_chip",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": "tpu client init hang (wedged tunnel)",
+            "p50_latency_ms_bs1": None,
+            "train_images_per_sec_chip": None,
+        }))
+        return
+
     # Latency first — see module docstring. No jax import may precede this.
     latency = _measure_latency()
     # Train-step throughput second, still before this process binds the TPU.
