@@ -54,6 +54,8 @@ def top_k_packed_idx(x: Array, k: int, idx_bits: int | None = None) -> Array:
     quantized score is never surfaced.
     """
     n = x.shape[-1]
+    if k > n:
+        raise ValueError(f"k={k} > n={n}")
     if idx_bits is None:
         idx_bits = max(1, (n - 1).bit_length())
     if n > (1 << idx_bits):
