@@ -191,8 +191,10 @@ class EvalConfig:
     # Single-key packed-int sort for the prefilter/merge top-k (index in
     # the low key bits) instead of XLA's variadic (value, iota) sort.
     # Near-exact (ties within ~2^-9 relative score collapse; output scores
-    # re-gathered exactly) — see ops/packsort.py. Off until the on-chip
-    # A/B justifies it.
+    # re-gathered exactly) — see ops/packsort.py. Measured a wash on
+    # v5e-1 (1.0016x median over 4 rounds,
+    # benchmarks/chip_logs/packsort_ab.log — below the pre-registered
+    # 1.5% flip threshold), so it stays off: exactness by default.
     nms_packed_sort: bool = False
 
 

@@ -39,11 +39,17 @@ r3 A/B'd variants: pair-packed emit + in-kernel halo masking (the r2
 ~0.57 ms output slice seam — WON, default), cross-program DMA double
 buffering (WON, default), HWNC producer direct-emit (wash, off),
 zero-pad width carry-through (1.3% slower, off, ODT_STEM_CARRY),
-HWCN input staging (pending chip, benchmarks/input_layout_ab.py),
-fully-fused producer `stem_fused_producer` (conv1_1 in-kernel over the
-36-lane tap stack — kills copy.41 + producer + the 376 MB intermediate;
-bit-exact in interpret mode; pending on-chip A/B, ODT_STEM_FP,
-benchmarks/stem_fp_ab.py).
+HWCN input staging (measured wash on v5e-1: 1.0016x median over 4
+rounds, benchmarks/chip_logs/input_layout_ab.log — the copy.41 relayout
+is apparently latency-hidden; off), fully-fused producer
+`stem_fused_producer` (conv1_1 in-kernel over the lane-padded tap stack
+— MEASURED DEAD END on v5e-1: 1939 vs 3393 img/s, 0.57x, bit-exact
+compiled (benchmarks/chip_logs + stem_fp_ab.py). Mosaic rejects any
+slice of a 36-lane tiled memref, so the tap stack must be lane-padded
+to 128; XLA then materializes the 377 MB pad+concat+transpose chain as
+multiple full passes, which costs far more than the producer conv +
+relayout it removes. Kept off-default behind ODT_STEM_FP as the
+negative-result record).
 
 Weight packing helpers live here so the quant engine and tests share one
 source of truth.
@@ -457,30 +463,42 @@ def conv12_pool_pair(
 # The r3 HLO profile prices the producer chain feeding conv12_pool_pair at
 # copy.41 0.45 ms (input relayout) + producer conv 0.88 ms, and the kernel
 # itself reads the 376 MB odd-pair int8 intermediate back from HBM. Fusing
-# conv1_1 into the kernel removes that intermediate entirely: the host
-# stacks the six (ky, kj) input taps channel-wise (36 int8 lanes, 106 MB
-# at SSD-300 bs=64 — a pure pad+slice+concat XLA emits from the quantize)
-# and the kernel computes the odd-pair conv1_1 as ONE K=36 int8 dot per
+# conv1_1 into the kernel removes that chain: the host stacks the six
+# (ky, kj) input taps channel-wise, lane-padded to 128 (Mosaic cannot
+# slice a 36-lane tiled memref; the padded stack is 377 MB at SSD-300
+# bs=64 — the same bytes as the conv1_1 codes it replaces, while the
+# producer's write + the relayout's read/write of those bytes disappear)
+# and the kernel computes the odd-pair conv1_1 as ONE K=128 int8 dot per
 # band, applies the conv1_1 epilogue + halo masking in VMEM, and feeds the
 # existing conv1_2 flat-shift pipeline. Same MACs, same f32 epilogue order
 # -> bit-exact vs the two-stage path (test-enforced).
 
 
 def pack_conv11_flat(w1r: np.ndarray) -> np.ndarray:
-    """(3, 2, 2*Cin, 2C) odd-pair conv1_1 kernel -> (6*2*Cin, 2C) flat
-    weights for the in-kernel tap-stacked dot: row (2*ky+kj)*2Cin + c
-    contracts x6 lane group t=(2*ky+kj), channel c."""
+    """(3, 2, 2*Cin, 2C) odd-pair conv1_1 kernel -> (128, 2C) flat weights
+    for the in-kernel tap-stacked dot: row (2*ky+kj)*2Cin + c contracts x6
+    lane group t=(2*ky+kj), channel c; rows 6*2Cin..127 are zero. The K
+    dim is padded to a full 128-lane tile because Mosaic cannot slice a
+    36-lane tiled memref (DMA lane slices must be 128-aligned) — and the
+    MXU contracts K=128 per pass regardless, so the zeros are free."""
     kh, kw, c2in, c2out = w1r.shape
     assert (kh, kw) == (3, 2)
-    return np.asarray(w1r).reshape(kh * kw * c2in, c2out)
+    flat = np.asarray(w1r).reshape(kh * kw * c2in, c2out)
+    out = np.zeros((128, c2out), w1r.dtype)
+    out[: flat.shape[0]] = flat
+    return out
 
 
 def build_stem_x6(codes_pp: Array) -> Array:
     """(B, H, W//2, 2*Cin) pre-paired quantized input codes -> the
-    tap-stacked conv1_1 operand (B, H+2, Jp, 6*Cin) with Jp = W//2 + 2:
+    tap-stacked conv1_1 operand (B, H+2, Jp, 128) with Jp = W//2 + 2:
     x6[b, R, J, t*2Cin + c] = codes_pp[b, R+ky-2, J+kj-1, c] for
     t = 2*ky + kj (zero outside the image — conv1_1's own zero padding,
-    so the kernel's dot needs no pad handling at all)."""
+    so the kernel's dot needs no pad handling at all); lanes 36..127 are
+    zero. The lane pad to 128 is a Mosaic constraint (tiled memrefs
+    cannot be sliced at 36 lanes); HBM-wise the padded stack is the same
+    size as the conv1_1 codes it replaces, and it removes the producer
+    conv plus the (H,Jp,B,128) relayout copy from the chain."""
     b, h, wh, c2 = codes_pp.shape
     jp = wh + 2
     pad = jnp.pad(codes_pp, ((0, 0), (2, 2), (1, 2), (0, 0)))
@@ -489,12 +507,13 @@ def build_stem_x6(codes_pp: Array) -> Array:
         for ky in range(3)
         for kj in range(2)
     ]
-    return jnp.concatenate(taps, axis=-1)
+    x6 = jnp.concatenate(taps, axis=-1)
+    return jnp.pad(x6, ((0, 0), (0, 0), (0, 0), (0, 128 - 6 * c2)))
 
 
 def _stem_fp_kernel(
-    x_hbm,  # ANY (H+2, Jp, B, 36) s8 tap-stacked input codes
-    w1_ref,  # VMEM (36, 128) s8 flat odd-pair conv1_1
+    x_hbm,  # ANY (H+2, Jp, B, 128) s8 tap-stacked input codes (36 used)
+    w1_ref,  # VMEM (128, 128) s8 flat odd-pair conv1_1 (36 rows used)
     w2_ref,  # VMEM (6, 128, 128) s8 packed conv1_2
     mask_ref,  # VMEM (1, Jp, 1, 128) s8 column-halo mask (1=real, 0=halo)
     deq1_ref,  # VMEM (1, 128) f32 conv1_1 dequant (input scale included)
@@ -503,7 +522,7 @@ def _stem_fp_kernel(
     bias2_ref,  # VMEM (1, 128) f32
     scales_ref,  # SMEM (1, 2) f32 requant scales (s1, s2)
     out_hbm,  # ANY (H/2, Jp//2, B, 128) s8 pair-packed pooled output
-    x_vmem,  # scratch (2, rows+3, Jp, nb, 36) s8 double-buffered
+    x_vmem,  # scratch (2, rows+3, Jp, nb, 128) s8 double-buffered
     out_vmem,  # scratch (2, rows//2, Jp//2, nb, 128) s8 double-buffered
     in_sems,
     out_sems,
@@ -514,8 +533,8 @@ def _stem_fp_kernel(
     out_width: int,
 ):
     # Same DMA skeleton as _stem_kernel (double-buffered across programs),
-    # but the HBM operand is the 36-lane tap stack (106 MB at SSD-300
-    # bs=64) instead of the 376 MB conv1_1 codes.
+    # but the HBM operand is the 128-lane tap stack instead of the
+    # conv1_1 codes — same bytes, no producer conv, no relayout copy.
     g = pl.program_id(0)
     band = pl.program_id(1)
     n_bands = pl.num_programs(1)
@@ -553,15 +572,15 @@ def _stem_fp_kernel(
     def _():
         in_copy(g_nxt, band_nxt, 1 - slot).start()
 
-    # conv1_1: one K=36 int8 dot over the whole band (structural zeros of
-    # the odd-pair packing included in w1 — 19.9 GOP total at SSD-300
-    # bs=64, ~15% of the band's MXU work). Row rows+2 of the scratch is
-    # stale garbage, exactly like _stem_kernel: it only ever reaches
-    # wrap-junk output columns, which the emit zeroes.
-    xv6 = x_vmem[slot]  # (rows+3, jp, nb, 36)
+    # conv1_1: one K=128 int8 dot over the whole band (structural zeros of
+    # the odd-pair packing + the 92 lane-pad rows included in w1 — the MXU
+    # contracts full 128-lane tiles regardless, so the pad is free). Row
+    # rows+2 of the scratch is stale garbage, exactly like _stem_kernel:
+    # it only ever reaches wrap-junk output columns, which the emit zeroes.
+    xv6 = x_vmem[slot]  # (rows+3, jp, nb, 128)
     m3 = (rows + 3) * jp * nb
     acc1 = jax.lax.dot_general(
-        xv6.reshape(m3, 36),
+        xv6.reshape(m3, 128),
         w1_ref[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -630,7 +649,7 @@ def _stem_fp_kernel(
 )
 def stem_fused_producer(
     codes_pp: Array,  # (B, H, W//2, 2*Cin) s8 pre-paired input codes
-    w1flat: Array,  # (36, 128) s8
+    w1flat: Array,  # (128, 128) s8 (rows 36.. zero — see pack_conv11_flat)
     deq1: Array,  # (128,) f32 — in_scale * w1_scale
     bias1: Array,  # (128,) f32
     s1: Array,  # scalar f32 conv1_1 activation scale
@@ -655,8 +674,8 @@ def stem_fused_producer(
     n_bands = h // band_rows
     nb = 8 if b % 8 == 0 else 1
 
-    x6 = build_stem_x6(codes_pp)  # (B, H+2, Jp, 36)
-    x_t = jnp.transpose(x6, (1, 2, 0, 3))  # (H+2, Jp, B, 36)
+    x6 = build_stem_x6(codes_pp)  # (B, H+2, Jp, 128)
+    x_t = jnp.transpose(x6, (1, 2, 0, 3))  # (H+2, Jp, B, 128)
 
     w_true = 2 * (jp - 2)
     col = 2 * np.arange(jp)[:, None] + (np.arange(128)[None, :] >= 64) - 1
@@ -672,7 +691,7 @@ def stem_fused_producer(
         grid=(b // nb, n_bands),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((36, 128), lambda i, r: (0, 0),
+            pl.BlockSpec((128, 128), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((6, 128, 128), lambda i, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -692,7 +711,7 @@ def stem_fused_producer(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((h // 2, jp // 2, b, 128), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((2, band_rows + 3, jp, nb, 36), jnp.int8),
+            pltpu.VMEM((2, band_rows + 3, jp, nb, 128), jnp.int8),
             pltpu.VMEM((2, band_rows // 2, jp // 2, nb, 128), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -732,9 +732,12 @@ def run_int8(
                 )
                 s1 = qp.act_scale[op.path1]
                 s2 = qp.act_scale[op.path2]
+                w1flat = w1r.reshape(-1, w1r.shape[-1])
+                # K padded to a full 128-lane tile (pack_conv11_flat)
+                w1flat = jnp.pad(w1flat, ((0, 128 - w1flat.shape[0]), (0, 0)))
                 x = stem_pallas.stem_fused_producer(
                     xin,
-                    w1r.reshape(-1, w1r.shape[-1]),
+                    w1flat,
                     cur_scale * jnp.asarray(qp.w_scale[op.path1]),
                     jnp.asarray(qp.bias[op.path1]),
                     s1,
