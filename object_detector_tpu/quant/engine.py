@@ -52,6 +52,10 @@ class ConvOp:
     # "direct": lax.conv. "im2col": shifted-copy patches + matmul —
     # measured 2.3x faster for tiny-Cin first layers (conv1_1 Cin=3)
     # where XLA's direct int8 conv emitter underutilizes the MXU.
+    # "s2d": stride-2 conv via space-to-depth phase packing (K=7/s2
+    # ResNet stem: Cin 3 -> 12, K 7 -> 4, stride 1) — bit-exact on the
+    # int8 path (same int32 MACs reordered + zeros); float inputs fall
+    # back to direct so the float interpreter stays unchanged.
     algo: str = "direct"
 
 
@@ -162,10 +166,17 @@ def build_resnet_ssd_spec(cfg: DetectorConfig) -> Spec:
     return build_resnet_trunk_spec() + _extras_spec(cfg, 3)
 
 
-def build_resnet_trunk_spec() -> Spec:
-    """ResNet-50 C3/C4/C5 trunk only (RetinaNet: FPN+heads stay float)."""
+def build_resnet_trunk_spec(stem_algo: Optional[str] = None) -> Spec:
+    """ResNet-50 C3/C4/C5 trunk (used by both SSD-512 and RetinaNet int8).
+
+    stem_algo=None resolves the 7x7/s2 stem to the space-to-depth conv
+    ("s2d", bit-exact — see _conv_s2d) on TPU, plain direct conv
+    elsewhere."""
+    if stem_algo is None:
+        stem_algo = "s2d" if jax.default_backend() == "tpu" else "direct"
     spec: Spec = [
-        ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3),
+        ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3,
+               algo=stem_algo),
         PoolOp(3, 2, explicit_pad=1),
     ]
     stage_sizes = (3, 4, 6, 3)
@@ -270,6 +281,8 @@ def _get_path(params: Dict[str, Any], path: str) -> Dict[str, Any]:
 def _conv(x: Array, kernel: Array, op: ConvOp, accum_dtype) -> Array:
     if op.algo == "im2col":
         return _conv_im2col(x, kernel, op, accum_dtype)
+    if op.algo == "s2d" and not jnp.issubdtype(x.dtype, jnp.floating):
+        return _conv_s2d(x, kernel, op, accum_dtype)
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
     )
@@ -312,6 +325,57 @@ def _conv_im2col(x: Array, kernel: Array, op: ConvOp, accum_dtype) -> Array:
         (((3,), (0,)), ((), ())),
         preferred_element_type=accum_dtype,
     )
+
+
+def _conv_s2d(x: Array, kernel: Array, op: ConvOp, accum_dtype) -> Array:
+    """Stride-2 conv via space-to-depth phase packing (exact).
+
+    The ResNet 7x7/s2 stem has Cin=3 — XLA's direct strided int8 conv
+    emitter runs it far below MXU rate (3-lane reduction minor dim +
+    strided windows). Splitting rows/cols into even/odd phases turns it
+    into a DENSE 4x4/s1 conv with Cin=12 (K taps 147 -> 192 incl. the
+    phase zero-pad):
+
+        o(y,x) = sum_{i,j} w[i,j] * xp[2y+i, 2x+j]
+               = sum_{p,q in {0,1}} sum_{a,b} w[2a+p, 2b+q]
+                                    * phase_pq[y+a, x+b]
+
+    where xp is the explicitly zero-padded input (a zero int8 code IS
+    conv zero-padding under symmetric quantization) and phase_pq[u,v] =
+    xp[2u+p, 2v+q]. Packing the 4 phases channel-wise makes the sum one
+    VALID conv. Int32 accumulation is order-independent, so the int8
+    path is bit-exact vs the direct conv (test-enforced).
+    """
+    assert op.stride == 2 and op.dilation == 1 and isinstance(op.padding, int)
+    kh, kw, cin, cout = kernel.shape
+    b, h, w, _ = x.shape
+    p = op.padding
+    out_h = (h + 2 * p - kh) // 2 + 1
+    out_w = (w + 2 * p - kw) // 2 + 1
+    # Pad to even spatial dims for the phase reshape; the extra zero
+    # row/col (if any) lies beyond every output window and is sliced off.
+    hp = h + 2 * p
+    wp = w + 2 * p
+    he, we = hp + (hp % 2), wp + (wp % 2)
+    xp = jnp.pad(x, ((0, 0), (p, p + he - hp), (p, p + we - wp), (0, 0)))
+    xs = xp.reshape(b, he // 2, 2, we // 2, 2, cin)
+    xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(
+        b, he // 2, we // 2, 4 * cin
+    )
+    # Kernel: (kh, kw, cin, cout) -> (ceil(kh/2), ceil(kw/2), 4*cin, cout)
+    # with the same (row-phase, col-phase, channel) minor order as xs.
+    kh2, kw2 = (kh + 1) // 2, (kw + 1) // 2
+    kp = jnp.pad(kernel, ((0, 2 * kh2 - kh), (0, 2 * kw2 - kw), (0, 0), (0, 0)))
+    ks = kp.reshape(kh2, 2, kw2, 2, cin, cout)
+    ks = jnp.transpose(ks, (0, 2, 1, 3, 4, 5)).reshape(kh2, kw2, 4 * cin, cout)
+    dn = jax.lax.conv_dimension_numbers(
+        xs.shape, ks.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    acc = jax.lax.conv_general_dilated(
+        xs, ks, (1, 1), "VALID",
+        dimension_numbers=dn, preferred_element_type=accum_dtype,
+    )
+    return acc[:, :out_h, :out_w, :]
 
 
 def _pack_pool_kernel(w: np.ndarray) -> np.ndarray:

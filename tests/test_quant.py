@@ -1,6 +1,8 @@
 """Int8 PTQ engine tests (CPU): spec parity with the flax model + int8
 accuracy against the float reference."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -186,6 +188,46 @@ def test_resnet_int8_close_to_float(resnet_setup):
     box_err = np.abs(np.asarray(q_box) - np.asarray(f_box))
     assert np.percentile(cls_err, 99) < 0.25, np.percentile(cls_err, 99)
     assert np.percentile(box_err, 99) < 0.25, np.percentile(box_err, 99)
+
+
+@pytest.mark.parametrize("size", [64, 65, 70])
+def test_s2d_stem_conv_bitexact(size):
+    """Space-to-depth 7x7/s2 stem conv == direct conv, bit-exact in int32
+    (same MACs reordered; zero int8 codes are exact conv padding). Odd
+    sizes exercise the even-phase pad path."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-127, 128, (2, size, size, 3), dtype=np.int8))
+    w = jnp.asarray(rng.integers(-127, 128, (7, 7, 3, 16), dtype=np.int8))
+    direct = engine.ConvOp("stem", kernel=7, stride=2, padding=3)
+    s2d = engine.ConvOp("stem", kernel=7, stride=2, padding=3, algo="s2d")
+    a = engine._conv(x, w, direct, jnp.int32)
+    b = engine._conv(x, w, s2d, jnp.int32)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_s2d_resnet_trunk_spec_parity(resnet_setup):
+    """Full int8 ResNet trunk forward with the s2d stem == direct stem,
+    bit-exact (the requant epilogues see identical int32 accumulators)."""
+    cfg, _, variables, x = resnet_setup
+    qp, spec = engine.quantize_ssd(
+        cfg, variables["params"], [x], batch_stats=variables["batch_stats"]
+    )
+    spec_direct = [
+        dataclasses.replace(op, algo="direct")
+        if isinstance(op, engine.ConvOp) and op.algo == "s2d" else op
+        for op in spec
+    ]
+    spec_s2d = [
+        dataclasses.replace(op, algo="s2d")
+        if isinstance(op, engine.ConvOp) and op.path.endswith("stem_conv")
+        else op
+        for op in spec_direct
+    ]
+    q_cls_a, q_box_a = engine.int8_forward(qp, spec_direct, cfg, x)
+    q_cls_b, q_box_b = engine.int8_forward(qp, spec_s2d, cfg, x)
+    np.testing.assert_array_equal(np.asarray(q_cls_a), np.asarray(q_cls_b))
+    np.testing.assert_array_equal(np.asarray(q_box_a), np.asarray(q_box_b))
 
 
 def test_pallas_l2norm_matches_jnp():
