@@ -25,31 +25,40 @@ import numpy as np
 
 
 def build_pipeline(preset: str):
-    from object_detector_tpu.anchors.priors import ssd_anchors
+    from object_detector_tpu.anchors.priors import anchors_for_model
     from object_detector_tpu.core.config import get_config
-    from object_detector_tpu.models.ssd import SSDModel
+    from object_detector_tpu.models.retinanet import build_model
     from object_detector_tpu.ops import augment as aug_ops
     from object_detector_tpu.ops.postprocess import postprocess
     from object_detector_tpu.quant import engine as qengine
 
     cfg = get_config(preset)
     bs, s = cfg.eval.batch_size, cfg.model.image_size
-    model = SSDModel(cfg)
+    if cfg.model.family == "retinanet":
+        bs = 32
+    model = build_model(cfg)
     variables = model.init(jax.random.key(0), jnp.zeros((1, s, s, 3)), train=False)
-    params = variables["params"]
-    anchors = jnp.asarray(ssd_anchors(cfg.anchors, s))
+    anchors = jnp.asarray(
+        anchors_for_model(cfg.model.family, cfg.anchors, cfg.model.image_size)
+    )
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, (bs, s, s, 3), dtype=np.uint8))
     calib = aug_ops.normalize(images[:8].astype(jnp.float32) / 255.0)
-    qp, spec = qengine.quantize_ssd(
-        cfg, params, [calib], batch_stats=variables.get("batch_stats")
-    )
+    if cfg.model.family == "retinanet":
+        qp, spec = qengine.quantize_retinanet(cfg, variables, [calib])
+        forward = qengine.retinanet_int8_forward
+    else:
+        qp, spec = qengine.quantize_ssd(
+            cfg, variables["params"], [calib],
+            batch_stats=variables.get("batch_stats"),
+        )
+        forward = qengine.int8_forward
     qp = jax.device_put(qp)
 
     @jax.jit
     def infer(q, x):
         img = aug_ops.normalize(x.astype(jnp.float32) / 255.0)
-        cls, box = qengine.int8_forward(q, spec, cfg, img)
+        cls, box = forward(q, spec, cfg, img)
         return postprocess(cls, box, anchors, cfg, use_pallas=True)
 
     return infer, qp, images

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--json", action="store_true",
                     help="print one machine-readable JSON line (bench.py)")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of the step and "
+                         "print the per-op device cost map")
     args = ap.parse_args()
     cfg = get_config("ssd300_vgg16_voc")
     bs = args.bs
@@ -69,6 +72,18 @@ def main():
             return metrics["loss"]
 
     stepper = Stepper(state)
+    if args.profile:
+        from benchmarks.profile_int8 import report
+
+        trace_dir = "/tmp/odt_train_trace"
+        loss = stepper(batch, key)  # warmup compile
+        jax.block_until_ready(loss)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(10):
+                loss = stepper(batch, key)
+            np.asarray(jax.device_get(loss))  # tunnel fence
+        report(trace_dir, top=40)
+        return
     dt = timed(stepper, batch, key, iters=args.iters)
     if args.json:
         print(json.dumps({

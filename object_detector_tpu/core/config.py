@@ -188,6 +188,16 @@ class EvalConfig:
     # to an uncapped per-class scan (survivors ranked below max_detections
     # within one class can never enter the global top-k merge).
     nms_max_per_class: int = 100
+    # Emit int8-head class logits as bf16 instead of f32 (the (B, A, C)
+    # logits tensor is the largest postprocess operand — 503 MB for the
+    # 80-class COCO configs at bs=64 — and bf16 halves every pass over
+    # it: the head-conv epilogue write, the class-max prefilter read and
+    # the candidate gather). Well inside the int8 path's approximation
+    # budget (bf16 rounding ~0.4% of a logit << int8 quantization error;
+    # box offsets stay f32), but OFF by default pending the measured
+    # on-chip A/B (benchmarks/logits_ab.py) — exactness-first ledger
+    # discipline, see ARCHITECTURE.md dead-ends list.
+    int8_logits_bf16: bool = False
     # Single-key packed-int sort for the prefilter/merge top-k (index in
     # the low key bits) instead of XLA's variadic (value, iota) sort.
     # Near-exact (ties within ~2^-9 relative score collapse; output scores

@@ -398,11 +398,11 @@ def pallas_decode_nms(
             anchors_center[None], (batch, num_anchors, 4)
         )
     else:
-        agnostic = jnp.max(cls_logits, axis=-1)  # (B, A)
+        agnostic = jnp.max(cls_logits, axis=-1)  # (B, A), native dtype
         if packed_sort:
             from object_detector_tpu.ops.packsort import top_k_packed_idx
 
-            aidx = top_k_packed_idx(agnostic, m_eff)
+            aidx = top_k_packed_idx(agnostic.astype(jnp.float32), m_eff)
         elif interpret or exact_prefilter:
             _, aidx = jax.lax.top_k(agnostic, m_eff)
         else:
@@ -413,7 +413,7 @@ def pallas_decode_nms(
         cand_offsets = jnp.take_along_axis(box_offsets, aidx[..., None], axis=1)
         cand_anchors = jnp.take(anchors_center, aidx, axis=0)  # (B, M, 4)
 
-    cand_scores = jax.nn.sigmoid(cand_logits)
+    cand_scores = jax.nn.sigmoid(cand_logits.astype(jnp.float32))
     cand_boxes = box_ops.decode(
         cand_offsets, cand_anchors, center_variance, size_variance, clip=True
     )

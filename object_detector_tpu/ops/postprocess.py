@@ -45,8 +45,12 @@ def postprocess(
         # kernel rows — no vmap.
         from object_detector_tpu.kernels.nms_pallas import pallas_decode_nms
 
+        # cls_logits pass through at their native dtype: when the int8
+        # heads emit bf16 (EvalConfig.int8_logits_bf16) the class-max
+        # prefilter + candidate gather read half the bytes; sigmoid runs
+        # in f32 on the gathered candidates inside pallas_decode_nms.
         return pallas_decode_nms(
-            cls_logits.astype(jnp.float32),
+            cls_logits,
             box_offsets.astype(jnp.float32),
             jnp.asarray(anchors_center),
             score_threshold=cfg.eval.score_threshold,

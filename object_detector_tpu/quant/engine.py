@@ -166,14 +166,16 @@ def build_resnet_ssd_spec(cfg: DetectorConfig) -> Spec:
     return build_resnet_trunk_spec() + _extras_spec(cfg, 3)
 
 
-def build_resnet_trunk_spec(stem_algo: Optional[str] = None) -> Spec:
+def build_resnet_trunk_spec(stem_algo: str = "direct") -> Spec:
     """ResNet-50 C3/C4/C5 trunk (used by both SSD-512 and RetinaNet int8).
 
-    stem_algo=None resolves the 7x7/s2 stem to the space-to-depth conv
-    ("s2d", bit-exact — see _conv_s2d) on TPU, plain direct conv
-    elsewhere."""
-    if stem_algo is None:
-        stem_algo = "s2d" if jax.default_backend() == "tpu" else "direct"
+    stem_algo="s2d" swaps the 7x7/s2 stem for the space-to-depth
+    phase-packed conv (_conv_s2d, bit-exact) — MEASURED DEAD END on v5e:
+    0.9334x end-to-end at bs=64 (benchmarks/chip_logs/resnet_stem_ab.log,
+    same-session ABAB, on-chip bit-exact parity asserted): XLA's direct
+    strided int8 emitter already handles Cin=3 well here, and the 50 MB
+    int8 phase relayout + the 4x-wider taps cost more than the fill win.
+    Kept selectable for future hardware."""
     spec: Spec = [
         ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3,
                algo=stem_algo),
@@ -932,6 +934,7 @@ def apply_heads_int8(
     taps_q: List[Tuple[Array, float]],
     cfg: DetectorConfig,
     pallas_l2norm: Optional[bool] = None,
+    logits_dtype=jnp.float32,
 ) -> Tuple[Array, Array]:
     """Int8 prediction heads over int8 taps.
 
@@ -975,7 +978,13 @@ def apply_heads_int8(
             op = ConvOp(path, relu=False)
             acc = _conv(tap, jnp.asarray(qp.w_int8[path]), op, jnp.int32)
             deq = s_tap * jnp.asarray(qp.w_scale[path])
-            outs[kind] = acc.astype(jnp.float32) * deq + jnp.asarray(qp.bias[path])
+            y = acc.astype(jnp.float32) * deq + jnp.asarray(qp.bias[path])
+            if kind == "cls":
+                # Cast fuses into the conv epilogue — halves the write of
+                # the largest postprocess operand when logits_dtype=bf16
+                # (box offsets stay f32: they become eval coordinates).
+                y = y.astype(logits_dtype)
+            outs[kind] = y
         cls_out.append(outs["cls"].reshape(b, h * w * a, cfg.model.num_classes))
         box_out.append(outs["box"].reshape(b, h * w * a, 4))
     return jnp.concatenate(cls_out, axis=1), jnp.concatenate(box_out, axis=1)
@@ -1064,7 +1073,10 @@ def int8_forward(
         taps_q = run_int8(
             qp, spec, images, dequantize_taps=False, input_hwcn=input_hwcn
         )
-        return apply_heads_int8(qp, taps_q, cfg)
+        logits_dtype = (
+            jnp.bfloat16 if cfg.eval.int8_logits_bf16 else jnp.float32
+        )
+        return apply_heads_int8(qp, taps_q, cfg, logits_dtype=logits_dtype)
     taps = run_int8(qp, spec, images, input_hwcn=input_hwcn)
     return apply_heads(qp.float_params, taps, cfg)
 
@@ -1167,6 +1179,7 @@ def run_float_fpn_heads(
 
 def run_int8_fpn_heads(
     qp: QuantParams, cfg: DetectorConfig, taps_q: List[Tuple[Array, float]],
+    logits_dtype=jnp.float32,
 ) -> Tuple[Array, Array]:
     """Int8 FPN + shared heads over int8 trunk taps (see section comment)."""
     sc = qp.act_scale
@@ -1208,6 +1221,10 @@ def run_int8_fpn_heads(
                 y = jnp.maximum(conv_f32(x_q, s_x, f"{head}/conv{i}"), 0.0)
                 x_q, s_x = requant(y, f"{head}/conv{i}@{lvl}")
             y = conv_f32(x_q, s_x, f"{head}/out")
+            if head == "cls_head":
+                # bf16 cast fuses into the out-conv epilogue (see
+                # apply_heads_int8); box offsets stay f32.
+                y = y.astype(logits_dtype)
             b, h, w, _ = y.shape
             outs[head].append(y.reshape(b, h * w * 9, n_out))
     return (
@@ -1263,7 +1280,10 @@ def retinanet_int8_forward(
     dequantized taps (legacy r1/r2 path)."""
     if "fpn/lateral3" in qp.w_int8:
         taps_q = run_int8(qp, spec, images, dequantize_taps=False)
-        return run_int8_fpn_heads(qp, cfg, taps_q)
+        logits_dtype = (
+            jnp.bfloat16 if cfg.eval.int8_logits_bf16 else jnp.float32
+        )
+        return run_int8_fpn_heads(qp, cfg, taps_q, logits_dtype=logits_dtype)
 
     from object_detector_tpu.models.retinanet import FPN, RetinaNetHead
 

@@ -190,6 +190,37 @@ def test_resnet_int8_close_to_float(resnet_setup):
     assert np.percentile(box_err, 99) < 0.25, np.percentile(box_err, 99)
 
 
+def test_bf16_logits_close_and_postprocess_runs(setup):
+    """int8_logits_bf16: cls logits deviate only by bf16 rounding (<=0.5%
+    relative) and the Pallas decode+NMS path accepts bf16 logits end-to-end
+    (prefilter in bf16, sigmoid/decode f32 on gathered candidates)."""
+    import dataclasses as dc
+
+    from object_detector_tpu.anchors.priors import ssd_anchors
+    from object_detector_tpu.ops.postprocess import postprocess
+
+    cfg, _, params, x = setup
+    qp, spec = engine.quantize_ssd(cfg, params, [x])
+    cls_f32, box_f32 = engine.int8_forward(qp, spec, cfg, x)
+    cfg_bf16 = cfg.replace(eval=dc.replace(cfg.eval, int8_logits_bf16=True))
+    cls_bf16, box_bf16 = engine.int8_forward(qp, spec, cfg_bf16, x)
+    assert cls_bf16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(box_f32), np.asarray(box_bf16))
+    err = np.abs(np.asarray(cls_bf16, np.float32) - np.asarray(cls_f32))
+    scale = np.maximum(np.abs(np.asarray(cls_f32)), 1.0)
+    assert (err / scale).max() < 0.005, (err / scale).max()
+
+    anchors = jnp.asarray(ssd_anchors(cfg.anchors, cfg.model.image_size))
+    det = postprocess(cls_bf16, box_bf16, anchors, cfg_bf16, use_pallas=True)
+    det_ref = postprocess(cls_f32, box_f32, anchors, cfg, use_pallas=True)
+    assert det.boxes.shape == det_ref.boxes.shape
+    # Same candidate universe up to bf16 near-ties: top-score detections
+    # must agree closely.
+    s = np.sort(np.asarray(det.scores).ravel())[::-1][:20]
+    s_ref = np.sort(np.asarray(det_ref.scores).ravel())[::-1][:20]
+    np.testing.assert_allclose(s, s_ref, atol=2e-3)
+
+
 @pytest.mark.parametrize("size", [64, 65, 70])
 def test_s2d_stem_conv_bitexact(size):
     """Space-to-depth 7x7/s2 stem conv == direct conv, bit-exact in int32
