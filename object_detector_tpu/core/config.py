@@ -188,6 +188,17 @@ class EvalConfig:
     # to an uncapped per-class scan (survivors ranked below max_detections
     # within one class can never enter the global top-k merge).
     nms_max_per_class: int = 100
+    # Per-class candidate narrowing before suppression (Pallas path). The
+    # kernel's per-emit VPU cost is linear in row width, but the shared
+    # class-agnostic candidate set is M = 2*pre_nms_top_k wide; narrowing
+    # each (image, class) row to its own top class_top_k candidates
+    # implements the documented per-class pre_nms_top_k truncation (the
+    # jnp path, ops/nms.py:67, has always done this) and halves-or-better
+    # the suppression time on 80-class configs. 0 = off (rows keep all M
+    # shared candidates — strictly MORE generous than the jnp contract).
+    # Selection is exact per-row lax.top_k (approx_max_k when
+    # nms_exact_prefilter=False).
+    nms_class_top_k: int = 0
     # Emit int8-head class logits as bf16 instead of f32 (the (B, A, C)
     # logits tensor is the largest postprocess operand — 503 MB for the
     # 80-class COCO configs at bs=64 — and bf16 halves every pass over

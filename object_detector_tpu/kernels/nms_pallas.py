@@ -159,6 +159,80 @@ def _merge_survivors(
     )
 
 
+def _rows_nms_merge(
+    cand_boxes: Array,  # (B, m) planes via (B, m, 4)
+    cand_scores_rows: Array,  # (R, m) f32, R = B*C
+    batch: int,
+    num_classes: int,
+    m_eff: int,
+    *,
+    class_top_k: int,
+    max_per_class: int,
+    max_detections: int,
+    iou_threshold: float,
+    score_threshold: float,
+    interpret: bool,
+    exact_prefilter: bool,
+    recall_target: float,
+    packed_sort: bool,
+) -> Detections:
+    """Shared tail of both NMS entry points: optional PER-CLASS candidate
+    narrowing, the suppression kernel, and the cross-class merge.
+
+    class_top_k > 0 keeps only the top class_top_k candidates of each
+    (image, class) row before suppression — the documented
+    `pre_nms_top_k` per-class contract (ops/nms.py:67 does exactly this
+    truncation), and the kernel's per-emit VPU cost is linear in row
+    width, so narrowing 512 -> 256 lanes halves suppression time. Exact
+    per-row `lax.top_k` selection by default; `approx_max_k` when
+    exact_prefilter=False (same contract as the anchor prefilter)."""
+    rows, m = cand_scores_rows.shape
+    nidx = None
+    if class_top_k and _round_up(min(class_top_k, m_eff), _LANE) < m:
+        k2 = _round_up(min(class_top_k, m_eff), _LANE)
+        if interpret or exact_prefilter:
+            row_scores, nidx = jax.lax.top_k(cand_scores_rows, k2)
+        else:
+            row_scores, nidx = jax.lax.approx_max_k(
+                cand_scores_rows, k2, recall_target=recall_target
+            )
+        # Row coords: gather the narrowed columns out of the per-image
+        # plane (the broadcast over classes folds into the gather).
+        coords = jnp.take_along_axis(
+            jnp.broadcast_to(
+                jnp.transpose(cand_boxes, (2, 0, 1))[:, :, None, :],
+                (4, batch, num_classes, m),
+            ).reshape(4, rows, m),
+            nidx[None],
+            axis=2,
+        )
+    else:
+        row_scores = cand_scores_rows
+        coords = jnp.broadcast_to(
+            jnp.transpose(cand_boxes, (2, 0, 1))[:, :, None, :],
+            (4, batch, num_classes, m),
+        ).reshape(4, rows, m)
+
+    n_out = min(max_per_class, max_detections, row_scores.shape[1])
+    kept_s, kept_c = _nms_rows(
+        coords,
+        row_scores.astype(jnp.float32),
+        max_out=n_out,
+        iou_threshold=iou_threshold,
+        score_threshold=score_threshold,
+        interpret=interpret,
+    )
+    if nidx is not None:
+        # Kernel columns index the narrowed row; translate back to
+        # candidate columns for the merge's box lookup.
+        kept_c = jnp.take_along_axis(nidx, kept_c, axis=1)
+
+    return _merge_survivors(
+        kept_s, kept_c, cand_boxes, batch, num_classes, n_out, max_detections,
+        packed_sort=packed_sort,
+    )
+
+
 def _nms_rows(
     coords: Array,  # (4, R, k) x1/y1/x2/y2 planes
     scores: Array,  # (R, k) sorted desc per row
@@ -237,7 +311,7 @@ def _nms_rows(
     static_argnames=(
         "score_threshold", "iou_threshold", "pre_nms_top_k", "max_detections",
         "max_per_class", "interpret", "exact_prefilter", "recall_target",
-        "packed_sort",
+        "packed_sort", "class_top_k",
     ),
 )
 def pallas_per_class_nms_batched(
@@ -253,6 +327,7 @@ def pallas_per_class_nms_batched(
     exact_prefilter: bool = False,
     recall_target: float = 0.95,
     packed_sort: bool = False,
+    class_top_k: int = 0,
 ) -> Detections:
     """Batched per-class NMS. All B*C (image, class) problems become kernel
     rows — one pallas_call for the whole batch (do NOT vmap this; the batch
@@ -312,24 +387,20 @@ def pallas_per_class_nms_batched(
     rows = batch * num_classes
     # Scores: (B, M, C) -> (B, C, M) -> (R, M).
     row_scores = jnp.transpose(cand_scores, (0, 2, 1)).reshape(rows, m)
-    # Coords: (B, M, 4) -> (4, B, 1, M) broadcast over classes -> (4, R, M).
-    coords = jnp.broadcast_to(
-        jnp.transpose(cand_boxes, (2, 0, 1))[:, :, None, :],
-        (4, batch, num_classes, m),
-    ).reshape(4, rows, m)
-
-    n_out = min(max_per_class, max_detections, m)
-    kept_s, kept_c = _nms_rows(
-        coords,
+    return _rows_nms_merge(
+        cand_boxes,
         row_scores.astype(jnp.float32),
-        max_out=n_out,
+        batch,
+        num_classes,
+        m_eff,
+        class_top_k=class_top_k,
+        max_per_class=max_per_class,
+        max_detections=max_detections,
         iou_threshold=iou_threshold,
         score_threshold=score_threshold,
         interpret=interpret,
-    )
-
-    return _merge_survivors(
-        kept_s, kept_c, cand_boxes, batch, num_classes, n_out, max_detections,
+        exact_prefilter=exact_prefilter,
+        recall_target=recall_target,
         packed_sort=packed_sort,
     )
 
@@ -352,7 +423,7 @@ def pallas_per_class_nms(
     static_argnames=(
         "score_threshold", "iou_threshold", "pre_nms_top_k", "max_detections",
         "max_per_class", "center_variance", "size_variance", "interpret",
-        "exact_prefilter", "recall_target", "packed_sort",
+        "exact_prefilter", "recall_target", "packed_sort", "class_top_k",
     ),
 )
 def pallas_decode_nms(
@@ -371,6 +442,7 @@ def pallas_decode_nms(
     exact_prefilter: bool = False,
     recall_target: float = 0.95,
     packed_sort: bool = False,
+    class_top_k: int = 0,
 ) -> Detections:
     """Fused candidate-sparse postprocess: the anchor pre-filter runs on
     LOGITS (sigmoid is monotone, so top-M by max-class logit == top-M by
@@ -425,22 +497,19 @@ def pallas_decode_nms(
 
     rows = batch * num_classes
     row_scores = jnp.transpose(cand_scores, (0, 2, 1)).reshape(rows, m)
-    coords = jnp.broadcast_to(
-        jnp.transpose(cand_boxes, (2, 0, 1))[:, :, None, :],
-        (4, batch, num_classes, m),
-    ).reshape(4, rows, m)
-
-    n_out = min(max_per_class, max_detections, m)
-    kept_s, kept_c = _nms_rows(
-        coords,
+    return _rows_nms_merge(
+        cand_boxes,
         row_scores.astype(jnp.float32),
-        max_out=n_out,
+        batch,
+        num_classes,
+        m_eff,
+        class_top_k=class_top_k,
+        max_per_class=max_per_class,
+        max_detections=max_detections,
         iou_threshold=iou_threshold,
         score_threshold=score_threshold,
         interpret=interpret,
-    )
-
-    return _merge_survivors(
-        kept_s, kept_c, cand_boxes, batch, num_classes, n_out, max_detections,
+        exact_prefilter=exact_prefilter,
+        recall_target=recall_target,
         packed_sort=packed_sort,
     )

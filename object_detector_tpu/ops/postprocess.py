@@ -63,6 +63,7 @@ def postprocess(
             exact_prefilter=cfg.eval.nms_exact_prefilter,
             recall_target=cfg.eval.nms_recall_target,
             packed_sort=cfg.eval.nms_packed_sort,
+            class_top_k=cfg.eval.nms_class_top_k,
         )
 
     scores = scores_from_logits(cls_logits.astype(jnp.float32), cfg.model.family)

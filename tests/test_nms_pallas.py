@@ -208,3 +208,64 @@ def test_row_activity_sort_is_exact(rng, monkeypatch):
         jnp.asarray(coords), jnp.asarray(scores), sort_rows=False, **kw)
     np.testing.assert_array_equal(np.asarray(s_sorted), np.asarray(s_plain))
     np.testing.assert_array_equal(np.asarray(c_sorted), np.asarray(c_plain))
+
+
+def test_class_top_k_off_equals_large(rng):
+    """class_top_k >= M (lane-rounded) is a no-op: identical detections."""
+    boxes, scores = _random_scene(rng, A=256, C=4)
+    kw = dict(
+        score_threshold=0.02, iou_threshold=0.5, pre_nms_top_k=128,
+        max_detections=64, interpret=True,
+    )
+    base = pallas_per_class_nms(boxes, scores, **kw)
+    same = pallas_per_class_nms(boxes, scores, class_top_k=4096, **kw)
+    assert _as_set(base) == _as_set(same)
+
+
+def test_class_top_k_matches_truncated_oracle(rng):
+    """With M >= A (no agnostic approximation), narrowing to class_top_k
+    must equal the jnp oracle's documented per-class pre_nms_top_k
+    truncation (ops/nms.py) with the same k."""
+    A, C, k2 = 384, 3, 128
+    boxes, scores = _random_scene(rng, A=A, C=C)
+    # Dense scores so the truncation is actually observable.
+    scores = jnp.asarray(rng.uniform(0.02, 1.0, (A, C)).astype(np.float32))
+    ref = nms_ops.per_class_nms(
+        boxes, scores, score_threshold=0.01, iou_threshold=0.5,
+        pre_nms_top_k=k2, max_detections=64,
+    )
+    got = pallas_per_class_nms(
+        boxes, scores, score_threshold=0.01, iou_threshold=0.5,
+        pre_nms_top_k=A,  # M = A: keep every anchor as a shared candidate
+        class_top_k=k2, max_detections=64, max_per_class=64, interpret=True,
+    )
+    assert _as_set(got) == _as_set(ref)
+
+
+def test_class_top_k_decode_path(rng):
+    """pallas_decode_nms narrowing: postprocess parity vs the jnp path
+    when class_top_k keeps every above-threshold candidate."""
+    import jax
+
+    from object_detector_tpu.anchors.priors import ssd_anchors
+    from object_detector_tpu.core.config import tiny_test_config
+    from object_detector_tpu.ops.postprocess import postprocess
+
+    cfg = tiny_test_config()
+    anchors = jnp.asarray(ssd_anchors(cfg.anchors, cfg.model.image_size))
+    A, C = anchors.shape[0], cfg.model.num_classes
+    cfg = cfg.override(
+        {"eval.pre_nms_top_k": A, "eval.nms_class_top_k": A}
+    )
+    cls = jnp.asarray(rng.normal(-4.0, 1.5, (2, A, C)).astype(np.float32))
+    box = jnp.asarray(rng.normal(0, 0.5, (2, A, 4)).astype(np.float32))
+    det_p = postprocess(cls, box, anchors, cfg, use_pallas=True)
+    det_j = postprocess(cls, box, anchors, cfg, use_pallas=False)
+    for i in range(2):
+        assert _as_set(
+            type(det_p)(det_p.boxes[i], det_p.scores[i], det_p.classes[i],
+                        det_p.valid[i])
+        ) == _as_set(
+            type(det_j)(det_j.boxes[i], det_j.scores[i], det_j.classes[i],
+                        det_j.valid[i])
+        )
