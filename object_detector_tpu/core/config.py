@@ -217,6 +217,15 @@ class EvalConfig:
     # benchmarks/chip_logs/packsort_ab.log — below the pre-registered
     # 1.5% flip threshold), so it stays off: exactness by default.
     nms_packed_sort: bool = False
+    # Run the suppression kernel's COORDINATE planes (x1/y1/x2/y2, area,
+    # IoU arithmetic) in bf16 instead of f32. Scores, emit ordering and
+    # output values stay exact f32; only the overlap test rounds (IoU
+    # relative error ~2^-8, i.e. a suppression decision can flip only
+    # when |IoU - threshold| < ~0.4%). The VPU packs 2 bf16 per f32 ALU
+    # slot, so the dense per-emit plane cost can halve. OFF by default
+    # pending the measured on-chip A/B (benchmarks/nms_coord_ab.py) —
+    # exactness-first ledger discipline.
+    nms_coord_bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -331,7 +340,12 @@ def _ssd512_resnet50_coco() -> DetectorConfig:
         model=ModelConfig(family="ssd", backbone="resnet50", image_size=512, num_classes=80),
         anchors=ssd512_anchor_config(),
         data=DataConfig(dataset="coco"),
-        eval=EvalConfig(map_style="coco"),
+        # int8_logits_bf16: measured +8.3% end-to-end on v5e-1 (1534 ->
+        # 1662 img/s, benchmarks/chip_logs/logits_ab.log, interleaved
+        # ABAB, top-20 score parity asserted) — the (64, 24564, 80)
+        # logits tensor is the largest postprocess operand and bf16
+        # halves every pass over it.
+        eval=EvalConfig(map_style="coco", int8_logits_bf16=True),
     )
 
 
@@ -350,7 +364,10 @@ def _retinanet_fpn_coco() -> DetectorConfig:
         model=ModelConfig(family="retinanet", backbone="resnet50", image_size=512, num_classes=80),
         anchors=retinanet_anchor_config(512),
         data=DataConfig(dataset="coco"),
-        eval=EvalConfig(map_style="coco"),
+        # int8_logits_bf16: measured +11.7% end-to-end on v5e-1 (974 ->
+        # 1087 img/s, benchmarks/chip_logs/logits_ab.log; same contract
+        # as the SSD-512 preset above).
+        eval=EvalConfig(map_style="coco", int8_logits_bf16=True),
         mesh=MeshConfig(data_parallel=16),
     )
 
