@@ -59,7 +59,16 @@ def _nms_kernel(
     y1 = y1_ref[:]
     x2 = x2_ref[:]
     y2 = y2_ref[:]
-    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (R, k)
+    cdt = x1.dtype  # coordinate-plane dtype (f32, or bf16 via coord_bf16)
+    area = jnp.maximum(x2 - x1, cdt.type(0)) * jnp.maximum(
+        y2 - y1, cdt.type(0)
+    )  # (R, k)
+    # Union-free suppression test (exact rearrangement, saves two plane
+    # ops per emit):  inter > t*(w_area + area - inter)
+    #            <=>  inter > t/(1+t) * (w_area + area)
+    # so t/(1+t)*area is hoisted out of the emit loop entirely.
+    t_ratio = cdt.type(iou_threshold / (1.0 + iou_threshold))
+    area_scaled = area * t_ratio  # (R, k), hoisted
     scores = scores_ref[:]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
     out_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, max_out), 1)
@@ -81,19 +90,26 @@ def _nms_kernel(
         # Winner coordinates per row via masked reduce (dynamic lane
         # gathers don't lower in Mosaic for these shapes); the winner's
         # area follows from its corners.
-        onehot_f = onehot.astype(jnp.float32)
+        onehot_f = onehot.astype(cdt)
         wx1 = jnp.sum(x1 * onehot_f, axis=1, keepdims=True)
         wy1 = jnp.sum(y1 * onehot_f, axis=1, keepdims=True)
         wx2 = jnp.sum(x2 * onehot_f, axis=1, keepdims=True)
         wy2 = jnp.sum(y2 * onehot_f, axis=1, keepdims=True)
-        w_area = jnp.maximum(wx2 - wx1, 0.0) * jnp.maximum(wy2 - wy1, 0.0)
+        w_area = jnp.maximum(wx2 - wx1, cdt.type(0)) * jnp.maximum(
+            wy2 - wy1, cdt.type(0)
+        )
         # Winner-vs-all IoU, rows independent; suppression in boolean
-        # masks (no f32 casts on the hot planes).
-        iw = jnp.maximum(jnp.minimum(wx2, x2) - jnp.maximum(wx1, x1), 0.0)
-        ih = jnp.maximum(jnp.minimum(wy2, y2) - jnp.maximum(wy1, y1), 0.0)
+        # masks.
+        iw = jnp.maximum(
+            jnp.minimum(wx2, x2) - jnp.maximum(wx1, x1), cdt.type(0)
+        )
+        ih = jnp.maximum(
+            jnp.minimum(wy2, y2) - jnp.maximum(wy1, y1), cdt.type(0)
+        )
         inter = iw * ih
-        union = w_area + area - inter
-        suppress = valid & (onehot | (inter > iou_threshold * union))
+        suppress = valid & (
+            onehot | (inter > area_scaled + w_area * t_ratio)
+        )
         return jnp.where(suppress, 0.0, remaining), acc_s, acc_c
 
     def body(j, carry):
@@ -175,6 +191,7 @@ def _rows_nms_merge(
     exact_prefilter: bool,
     recall_target: float,
     packed_sort: bool,
+    coord_bf16: bool = False,
 ) -> Detections:
     """Shared tail of both NMS entry points: optional PER-CLASS candidate
     narrowing, the suppression kernel, and the cross-class merge.
@@ -215,7 +232,7 @@ def _rows_nms_merge(
 
     n_out = min(max_per_class, max_detections, row_scores.shape[1])
     kept_s, kept_c = _nms_rows(
-        coords,
+        coords.astype(jnp.bfloat16) if coord_bf16 else coords,
         row_scores.astype(jnp.float32),
         max_out=n_out,
         iou_threshold=iou_threshold,
@@ -311,7 +328,7 @@ def _nms_rows(
     static_argnames=(
         "score_threshold", "iou_threshold", "pre_nms_top_k", "max_detections",
         "max_per_class", "interpret", "exact_prefilter", "recall_target",
-        "packed_sort", "class_top_k",
+        "packed_sort", "class_top_k", "coord_bf16",
     ),
 )
 def pallas_per_class_nms_batched(
@@ -328,6 +345,7 @@ def pallas_per_class_nms_batched(
     recall_target: float = 0.95,
     packed_sort: bool = False,
     class_top_k: int = 0,
+    coord_bf16: bool = False,
 ) -> Detections:
     """Batched per-class NMS. All B*C (image, class) problems become kernel
     rows — one pallas_call for the whole batch (do NOT vmap this; the batch
@@ -402,6 +420,7 @@ def pallas_per_class_nms_batched(
         exact_prefilter=exact_prefilter,
         recall_target=recall_target,
         packed_sort=packed_sort,
+        coord_bf16=coord_bf16,
     )
 
 
@@ -424,6 +443,7 @@ def pallas_per_class_nms(
         "score_threshold", "iou_threshold", "pre_nms_top_k", "max_detections",
         "max_per_class", "center_variance", "size_variance", "interpret",
         "exact_prefilter", "recall_target", "packed_sort", "class_top_k",
+        "coord_bf16",
     ),
 )
 def pallas_decode_nms(
@@ -443,6 +463,7 @@ def pallas_decode_nms(
     recall_target: float = 0.95,
     packed_sort: bool = False,
     class_top_k: int = 0,
+    coord_bf16: bool = False,
 ) -> Detections:
     """Fused candidate-sparse postprocess: the anchor pre-filter runs on
     LOGITS (sigmoid is monotone, so top-M by max-class logit == top-M by
@@ -512,4 +533,5 @@ def pallas_decode_nms(
         exact_prefilter=exact_prefilter,
         recall_target=recall_target,
         packed_sort=packed_sort,
+        coord_bf16=coord_bf16,
     )

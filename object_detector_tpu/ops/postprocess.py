@@ -64,6 +64,7 @@ def postprocess(
             recall_target=cfg.eval.nms_recall_target,
             packed_sort=cfg.eval.nms_packed_sort,
             class_top_k=cfg.eval.nms_class_top_k,
+            coord_bf16=cfg.eval.nms_coord_bf16,
         )
 
     scores = scores_from_logits(cls_logits.astype(jnp.float32), cfg.model.family)

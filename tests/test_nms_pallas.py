@@ -269,3 +269,47 @@ def test_class_top_k_decode_path(rng):
             type(det_j)(det_j.boxes[i], det_j.scores[i], det_j.classes[i],
                         det_j.valid[i])
         )
+
+
+def test_coord_bf16_detection_set_close(rng):
+    """bf16 coordinate planes: scores/ordering exact; only suppression
+    decisions within ~0.4% of the IoU threshold may flip. On random
+    scenes the detection set should match f32 near-exactly."""
+    from object_detector_tpu.kernels.nms_pallas import (
+        pallas_per_class_nms_batched,
+    )
+
+    B, A, C = 4, 600, 6
+    boxes = rng.uniform(0, 1, (B, A, 4)).astype(np.float32)
+    boxes[..., 2:] = np.clip(
+        boxes[..., :2] + rng.uniform(0.02, 0.3, (B, A, 2)), 0, 1
+    )
+    scores = (rng.uniform(0, 1, (B, A, C)) ** 6).astype(np.float32)
+    kw = dict(
+        score_threshold=0.05, iou_threshold=0.45, pre_nms_top_k=128,
+        max_detections=50, max_per_class=25, interpret=True,
+    )
+    d32 = pallas_per_class_nms_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), **kw
+    )
+    d16 = pallas_per_class_nms_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), coord_bf16=True, **kw
+    )
+    s32 = set(
+        zip(
+            np.asarray(d32.classes)[np.asarray(d32.valid)].tolist(),
+            np.round(
+                np.asarray(d32.scores)[np.asarray(d32.valid)], 5
+            ).tolist(),
+        )
+    )
+    s16 = set(
+        zip(
+            np.asarray(d16.classes)[np.asarray(d16.valid)].tolist(),
+            np.round(
+                np.asarray(d16.scores)[np.asarray(d16.valid)], 5
+            ).tolist(),
+        )
+    )
+    jac = len(s32 & s16) / max(len(s32 | s16), 1)
+    assert jac > 0.97, f"bf16-coord detection set diverged: jaccard={jac}"
