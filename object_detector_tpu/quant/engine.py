@@ -92,6 +92,28 @@ class FusedStemOp:
 
 
 @dataclasses.dataclass(frozen=True)
+class BottleneckOp:
+    """Stride-1, non-projection ResNet bottleneck (conv1 1x1 -> conv2 3x3
+    -> conv3 1x1 + residual) fused into ONE Pallas kernel
+    (kernels/bottleneck_pallas.py): both low-channel intermediates stay
+    VMEM-resident, cutting the block's HBM traffic from ~4 tensor round
+    trips + residual re-read to one read + one write. Bit-exact vs the
+    unfused chain (same int32 MACs, same f32 epilogue op sequence).
+
+    Calibration, scale keys and weight quantization EXPAND this op to the
+    equivalent unfused ops (_expand_spec), so a single QuantParams serves
+    both fused and unfused specs."""
+
+    base: str  # e.g. "backbone/stage1_block2"
+
+    @property
+    def conv_paths(self) -> Tuple[str, str, str]:
+        return (
+            f"{self.base}/conv1", f"{self.base}/conv2", f"{self.base}/conv3"
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class SaveOp:
     """Save the current activation into a named register (residual input)."""
 
@@ -160,13 +182,38 @@ def build_spec(cfg: DetectorConfig, fused_stem: Optional[bool] = None) -> Spec:
     raise NotImplementedError(f"int8 engine: unknown backbone {cfg.model.backbone}")
 
 
-def build_resnet_ssd_spec(cfg: DetectorConfig) -> Spec:
+def _expand_spec(spec: Spec) -> Spec:
+    """Expand fused BottleneckOps into their equivalent unfused op chains
+    (used by the float interpreter, calibration and weight quantization so
+    fused and unfused specs share one QuantParams by construction)."""
+    out: Spec = []
+    for op in spec:
+        if isinstance(op, BottleneckOp):
+            c1, c2, c3 = op.conv_paths
+            out += [
+                SaveOp("sc"),
+                ConvOp(c1, kernel=1),
+                ConvOp(c2, kernel=3),
+                ConvOp(c3, kernel=1, relu=True, add_register="sc"),
+            ]
+        else:
+            out.append(op)
+    return out
+
+
+def build_resnet_ssd_spec(
+    cfg: DetectorConfig, fused_bottleneck: Optional[bool] = None
+) -> Spec:
     """Op list mirroring models/ssd.py + models/resnet.py (BN pre-folded
     into conv kernels/biases by fold_resnet50)."""
-    return build_resnet_trunk_spec() + _extras_spec(cfg, 3)
+    return build_resnet_trunk_spec(
+        fused_bottleneck=fused_bottleneck
+    ) + _extras_spec(cfg, 3)
 
 
-def build_resnet_trunk_spec(stem_algo: str = "direct") -> Spec:
+def build_resnet_trunk_spec(
+    stem_algo: str = "direct", fused_bottleneck: Optional[bool] = None
+) -> Spec:
     """ResNet-50 C3/C4/C5 trunk (used by both SSD-512 and RetinaNet int8).
 
     stem_algo="s2d" swaps the 7x7/s2 stem for the space-to-depth
@@ -175,7 +222,14 @@ def build_resnet_trunk_spec(stem_algo: str = "direct") -> Spec:
     same-session ABAB, on-chip bit-exact parity asserted): XLA's direct
     strided int8 emitter already handles Cin=3 well here, and the 50 MB
     int8 phase relayout + the 4x-wider taps cost more than the fill win.
-    Kept selectable for future hardware."""
+    Kept selectable for future hardware.
+
+    fused_bottleneck: stride-1 non-projection blocks (block 2+ of every
+    stage) run as single Pallas kernels (BottleneckOp). None = auto
+    (ODT_FUSED_BOTTLENECK env, default off pending the on-chip A/B —
+    benchmarks/bottleneck_ab.py)."""
+    if fused_bottleneck is None:
+        fused_bottleneck = os.environ.get("ODT_FUSED_BOTTLENECK", "0") == "1"
     spec: Spec = [
         ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3,
                algo=stem_algo),
@@ -192,14 +246,21 @@ def build_resnet_trunk_spec(stem_algo: str = "direct") -> Spec:
                     ConvOp(f"{base}/proj", kernel=1, stride=stride, relu=False),
                     SaveOp("sc"),
                     LoadOp("in"),
+                    ConvOp(f"{base}/conv1", kernel=1),
+                    ConvOp(f"{base}/conv2", kernel=3, stride=stride),
+                    ConvOp(f"{base}/conv3", kernel=1, relu=True,
+                           add_register="sc"),
                 ]
+            elif fused_bottleneck:
+                spec.append(BottleneckOp(base))
             else:
-                spec.append(SaveOp("sc"))
-            spec += [
-                ConvOp(f"{base}/conv1", kernel=1),
-                ConvOp(f"{base}/conv2", kernel=3, stride=stride),
-                ConvOp(f"{base}/conv3", kernel=1, relu=True, add_register="sc"),
-            ]
+                spec += [
+                    SaveOp("sc"),
+                    ConvOp(f"{base}/conv1", kernel=1),
+                    ConvOp(f"{base}/conv2", kernel=3, stride=stride),
+                    ConvOp(f"{base}/conv3", kernel=1, relu=True,
+                           add_register="sc"),
+                ]
         if stage >= 2:
             spec.append(TapOp(stage - 2))
     return spec
@@ -448,6 +509,7 @@ def run_float(
     absmax records the post-activation maximum magnitude of every conv
     output plus the trunk input under key "__input__" (per-tensor scales).
     """
+    spec = _expand_spec(spec)  # float path always runs unfused chains
     absmax: Dict[str, Array] = {"__input__": jnp.max(jnp.abs(images))}
     x = images.astype(compute_dtype)
     regs: Dict[str, Array] = {}
@@ -522,7 +584,7 @@ def required_scale_keys(spec: Spec, use_l2norm: bool = False) -> set:
     harmless). Fused/packed ops record absmax under the ORIGINAL conv
     paths, so fused and unfused specs share a key set by construction."""
     keys = {"__input__"}
-    for op in spec:
+    for op in _expand_spec(spec):
         if isinstance(op, (ConvOp, PackedConvPoolOp)):
             keys.add(op.path)
         elif isinstance(op, FusedStemOp):
@@ -597,7 +659,7 @@ def quantize_params(
     w_int8: Dict[str, np.ndarray] = {}
     w_scale: Dict[str, np.ndarray] = {}
     bias: Dict[str, np.ndarray] = {}
-    for op in spec:
+    for op in _expand_spec(spec):
         if isinstance(op, FusedStemOp):
             from object_detector_tpu.kernels import stem_pallas
 
@@ -750,6 +812,29 @@ def run_int8(
             out_scale = qp.act_scale[op.path]
             x = jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
             cur_scale = out_scale
+        elif isinstance(op, BottleneckOp):
+            from object_detector_tpu.kernels import bottleneck_pallas
+
+            c1, c2, c3 = op.conv_paths
+            s1 = qp.act_scale[c1]
+            s2 = qp.act_scale[c2]
+            s3 = qp.act_scale[c3]
+            cin = x.shape[-1]
+            cm = qp.w_int8[c1].shape[-1]
+            x = bottleneck_pallas.fused_bottleneck(
+                x,
+                jnp.asarray(qp.w_int8[c1]).reshape(cin, cm),
+                cur_scale * jnp.asarray(qp.w_scale[c1]),
+                jnp.asarray(qp.bias[c1]),
+                jnp.asarray(qp.w_int8[c2]),
+                s1 * jnp.asarray(qp.w_scale[c2]),
+                jnp.asarray(qp.bias[c2]),
+                jnp.asarray(qp.w_int8[c3]).reshape(cm, cin),
+                s2 * jnp.asarray(qp.w_scale[c3]),
+                jnp.asarray(qp.bias[c3]),
+                s1=s1, s2=s2, s3=s3, resid_scale=cur_scale,
+            )
+            cur_scale = s3
         elif isinstance(op, FusedStemOp):
             from object_detector_tpu.kernels import stem_pallas
 

@@ -516,3 +516,102 @@ def test_fused_stem_spec_fp_env_parity(setup, monkeypatch):
     cls_b, box_b = engine.int8_forward(qp, spec, cfg, x)
     np.testing.assert_array_equal(np.asarray(cls_a), np.asarray(cls_b))
     np.testing.assert_array_equal(np.asarray(box_a), np.asarray(box_b))
+
+
+def test_fused_bottleneck_matches_unfused():
+    """BottleneckOp Pallas kernel == unfused conv1/conv2/conv3+residual
+    int8 chain, bit-exact (same int32 MACs, same f32 epilogue op
+    sequence). Odd band split exercises the halo rows + edge masking."""
+    import numpy as np
+
+    from object_detector_tpu.kernels import bottleneck_pallas
+
+    rng = np.random.default_rng(7)
+    B, H, W, C, Cm = 2, 12, 16, 32, 16
+    x_q = jnp.asarray(rng.integers(-31, 32, (B, H, W, C), dtype=np.int8))
+    w1 = rng.integers(-9, 10, (1, 1, C, Cm)).astype(np.int8)
+    w2 = rng.integers(-9, 10, (3, 3, Cm, Cm)).astype(np.int8)
+    w3 = rng.integers(-9, 10, (1, 1, Cm, C)).astype(np.int8)
+    deq1 = (rng.random(Cm).astype(np.float32) + 0.5) * 1e-2
+    b1 = rng.normal(size=Cm).astype(np.float32) * 0.1
+    deq2 = (rng.random(Cm).astype(np.float32) + 0.5) * 1e-2
+    b2 = rng.normal(size=Cm).astype(np.float32) * 0.1
+    deq3 = (rng.random(C).astype(np.float32) + 0.5) * 1e-2
+    b3 = rng.normal(size=C).astype(np.float32) * 0.1
+    s1, s2, s3, rs = 0.043, 0.021, 0.037, 0.029
+
+    def conv(x, w):
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        return jax.lax.conv_general_dilated(
+            x, jnp.asarray(w), (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+
+    def requant(acc, deq, b, s, extra=None):
+        y = acc.astype(jnp.float32) * deq + b
+        if extra is not None:
+            y = y + extra
+        y = jnp.maximum(y, 0.0)
+        return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+
+    q1 = requant(conv(x_q, w1), deq1, b1, s1)
+    q2 = requant(conv(q1, w2), deq2, b2, s2)
+    ref = requant(
+        conv(q2, w3), deq3, b3, s3, extra=x_q.astype(jnp.float32) * rs
+    )
+
+    for band_rows in (4, None):  # 3 bands of 4 rows; auto (=4 for H=12)
+        got = bottleneck_pallas.fused_bottleneck(
+            x_q,
+            jnp.asarray(w1).reshape(C, Cm), jnp.asarray(deq1), jnp.asarray(b1),
+            jnp.asarray(w2), jnp.asarray(deq2), jnp.asarray(b2),
+            jnp.asarray(w3).reshape(Cm, C), jnp.asarray(deq3), jnp.asarray(b3),
+            s1=s1, s2=s2, s3=s3, resid_scale=rs,
+            band_rows=band_rows, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_bottleneck_spec_matches_unfused_spec():
+    """run_int8 over a fused-bottleneck ResNet spec == the unfused spec,
+    bit-exact, from ONE shared QuantParams (paths are identical by
+    _expand_spec construction)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+
+    def conv_p(kh, kw, cin, cout):
+        return {
+            "kernel": rng.normal(size=(kh, kw, cin, cout)).astype(np.float32)
+            * 0.1,
+            "bias": rng.normal(size=cout).astype(np.float32) * 0.05,
+        }
+
+    C, Cm = 24, 8
+    base = "backbone/stageX_block2"
+    params = {
+        "backbone": {
+            "stageX_block2": {
+                "conv1": conv_p(1, 1, C, Cm),
+                "conv2": conv_p(3, 3, Cm, Cm),
+                "conv3": conv_p(1, 1, Cm, C),
+            }
+        }
+    }
+    fused_spec = [engine.BottleneckOp(base)]
+    unfused_spec = engine._expand_spec(fused_spec)
+
+    imgs = jnp.asarray(rng.random((2, 8, 8, C)).astype(np.float32))
+    scales = engine.calibrate_scales(params, unfused_spec, [imgs], use_l2norm=False)
+    qp = engine.quantize_params(params, fused_spec, scales, quantize_heads=False)
+
+    # Neither spec has taps; compare the final activation via a TapOp.
+    fused_spec = fused_spec + [engine.TapOp(0)]
+    unfused_spec = unfused_spec + [engine.TapOp(0)]
+    t_fused = engine.run_int8(qp, fused_spec, imgs)
+    t_unfused = engine.run_int8(qp, unfused_spec, imgs)
+    for a, b in zip(jax.tree_util.tree_leaves(t_fused),
+                    jax.tree_util.tree_leaves(t_unfused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
