@@ -222,9 +222,11 @@ class EvalConfig:
     # output values stay exact f32; only the overlap test rounds (IoU
     # relative error ~2^-8, i.e. a suppression decision can flip only
     # when |IoU - threshold| < ~0.4%). The VPU packs 2 bf16 per f32 ALU
-    # slot, so the dense per-emit plane cost can halve. OFF by default
-    # pending the measured on-chip A/B (benchmarks/nms_coord_ab.py) —
-    # exactness-first ledger discipline.
+    # slot, so the dense per-emit plane cost could halve. MEASURED WASH
+    # on v5e-1 (benchmarks/chip_logs/nms_coord_ab.log, interleaved ABAB:
+    # SSD-512 0.9875x, SSD-300 0.9934x — Mosaic lacks bf16 vector cmpf
+    # on this target, so the per-emit compare upcasts to f32 and the
+    # converts eat the plane-op saving). Stays OFF: exactness for free.
     nms_coord_bf16: bool = False
 
 

@@ -107,9 +107,13 @@ def _nms_kernel(
             jnp.minimum(wy2, y2) - jnp.maximum(wy1, y1), cdt.type(0)
         )
         inter = iw * ih
-        suppress = valid & (
-            onehot | (inter > area_scaled + w_area * t_ratio)
-        )
+        lhs, rhs = inter, area_scaled + w_area * t_ratio
+        if cdt == jnp.bfloat16:
+            # Mosaic on v5e rejects bf16 vector cmpf ("Target does not
+            # support this comparison"): arithmetic stays bf16, the one
+            # compare per emit upcasts to f32.
+            lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
+        suppress = valid & (onehot | (lhs > rhs))
         return jnp.where(suppress, 0.0, remaining), acc_s, acc_c
 
     def body(j, carry):
