@@ -51,6 +51,10 @@ class VGG16Backbone(nn.Module):
         conv = lambda c, name, **kw: nn.Conv(  # noqa: E731
             c, (3, 3), padding="SAME", dtype=self.compute_dtype, name=name, **kw
         )
+        # reduce_window + select_and_scatter backward (3.6 ms/step) is the
+        # MEASURED best here: both structured alternatives in ops/pooling
+        # lost (6D mask: 9.1 ms, lane-half pairwise max: +26 ms) — see
+        # ops/pooling.py STATUS.
         pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))  # noqa: E731
 
         x = x.astype(self.compute_dtype)
@@ -65,8 +69,16 @@ class VGG16Backbone(nn.Module):
         x = nn.relu(conv(256, "conv3_2")(x))
         x = nn.relu(conv(256, "conv3_3")(x))
         # ceil-mode pool3 (keeps 75 -> 38 at input 300): pad to even first.
+        # Constant dtype-min pad (not edge): same max-pool output, but the
+        # pad lowers to lax.pad whose transpose is a slice — edge mode
+        # lowers to concatenate + add_any (~1 ms/step in the backward,
+        # chip_logs/train_profile.log) and introduces gradient ties.
         if x.shape[1] % 2 == 1:
-            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+            x = jnp.pad(
+                x,
+                ((0, 0), (0, 1), (0, 1), (0, 0)),
+                constant_values=jnp.finfo(x.dtype).min,
+            )
         x = pool(x)
         # Block 4
         x = nn.relu(conv(512, "conv4_1")(x))

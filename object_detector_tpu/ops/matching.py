@@ -77,11 +77,22 @@ def match(
 
     ignore = (~positive) & (best_gt_iou >= cfg.negative_iou)
 
-    matched_labels = jnp.take(gt_labels, matched_gt, axis=0).astype(jnp.int32)
+    # Row gathers as a one-hot matmul: vmapped jnp.take lowers to a
+    # batched gather that XLA executes at ~11 GB/s on TPU (measured 3.5 ms
+    # per train step, chip_logs/train_profile.log); the (A, M) one-hot
+    # contraction runs on the MXU instead and is exact (each row has a
+    # single 1.0, so the f32 sum reduces to the selected element).
+    m = gt_boxes.shape[0]
+    onehot = (
+        matched_gt[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)  # (A, M)
+    matched_labels = jnp.round(onehot @ gt_labels.astype(jnp.float32)).astype(
+        jnp.int32
+    )
     cls = jnp.where(positive, matched_labels, 0)
     cls = jnp.where(ignore, -1, cls)
 
-    matched_boxes = jnp.take(gt_boxes, matched_gt, axis=0)
+    matched_boxes = onehot @ gt_boxes.astype(jnp.float32)
     encoded = box_ops.encode(
         matched_boxes, anchors_center, center_variance, size_variance
     )
