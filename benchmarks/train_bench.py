@@ -38,10 +38,14 @@ def main():
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of the step and "
                          "print the per-op device cost map")
+    ap.add_argument("--pack-block1", action="store_true",
+                    help="image-pair packed VGG block-1 (A/B arm)")
     args = ap.parse_args()
     cfg = get_config("ssd300_vgg16_voc")
     bs = args.bs
     cfg = cfg.override({"train.batch_size": bs})
+    if args.pack_block1:
+        cfg = cfg.override({"model.pack_block1": True})
     s = cfg.model.image_size
     m = cfg.data.max_boxes
 

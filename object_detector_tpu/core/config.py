@@ -91,6 +91,18 @@ class ModelConfig:
     l2norm_scale: float = 20.0
     # Compute dtype for conv stacks; params stay float32.
     compute_dtype: str = "bfloat16"
+    # VGG block-1 image-pair packing (training-path layout fix): C=64
+    # bf16 half-fills the 128-lane tiles, so block-1 runs HBM-bound at
+    # ~310 GB/s (chip_logs/train_profile.log). Packing image pairs into
+    # channels (B/2, H, W, 128) with on-the-fly block-diagonal kernels
+    # keeps the exact MAC set (~1 ULP reassociation drift only) and
+    # measured the isolated block fwd+bwd at 15.3 vs 20.8 ms
+    # (chip_logs/block1_pack_ab.log) and the full train step at
+    # 51.74 vs 57.52 ms — +11.2% img/s (chip_logs/train_pack_ab.log,
+    # same session). Applied only when the batch is even (bs=1 predict
+    # falls back to the plain path); params stay canonical
+    # (checkpoint-compatible either way). ON by default.
+    pack_block1: bool = True
 
     @property
     def num_levels(self) -> int:

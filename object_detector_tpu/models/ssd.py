@@ -70,7 +70,11 @@ class SSDModel(nn.Module):
         x = images.astype(dtype)
 
         if cfg.model.backbone == "vgg16":
-            taps = VGG16Backbone(compute_dtype=dtype, name="backbone")(x)
+            taps = VGG16Backbone(
+                compute_dtype=dtype,
+                pack_block1=cfg.model.pack_block1,
+                name="backbone",
+            )(x)
             taps[0] = L2Norm(init_scale=cfg.model.l2norm_scale, name="l2norm")(taps[0])
             trunk = taps[-1]
         elif cfg.model.backbone == "resnet50":

@@ -41,10 +41,55 @@ class L2Norm(nn.Module):
         return x * inv * scale.astype(x.dtype)
 
 
+class _PairConv(nn.Module):
+    """3x3 SAME conv on image PAIRS packed in channels: input
+    (B/2, H, W, 2*Cin) -> output (B/2, H, W, 2*features).
+
+    Why: at C=64 bf16, block-1 tensors half-fill the 128-lane TPU tiles
+    and the convs run HBM-bound at ~310 GB/s (train profile). Packing
+    pairs doubles the channel dim to a full tile. The parameters are the
+    CANONICAL (3,3,Cin,features) kernel + (features,) bias — identical
+    pytree to nn.Conv, so checkpoints are interchangeable between packed
+    and plain modes — and the block-diagonal expansion happens on the
+    fly. Numerically equivalent to the plain conv: the MAC set per
+    output is identical (the off-diagonal blocks contribute exact 0.0
+    terms), but XLA's accumulation tree over the wider channel dim may
+    reassociate the nonzero terms, so outputs can drift by ~1 ULP
+    (tests pin rtol=1e-5 forward / 1e-4 grads).
+    """
+
+    features: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xp: Array) -> Array:
+        cin = xp.shape[-1] // 2
+        f = self.features
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, f),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        k = kernel.astype(self.compute_dtype)
+        kp = jnp.zeros((3, 3, 2 * cin, 2 * f), self.compute_dtype)
+        kp = kp.at[:, :, :cin, :f].set(k).at[:, :, cin:, f:].set(k)
+        dn = jax.lax.conv_dimension_numbers(
+            xp.shape, kp.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            xp.astype(self.compute_dtype), kp, (1, 1), "SAME",
+            dimension_numbers=dn,
+        )
+        return y + jnp.concatenate([bias, bias]).astype(self.compute_dtype)
+
+
 class VGG16Backbone(nn.Module):
     """VGG16 (SSD-modified). Returns [conv4_3, fc7] feature maps, NHWC."""
 
     compute_dtype: Any = jnp.bfloat16
+    pack_block1: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> List[Array]:
@@ -58,10 +103,20 @@ class VGG16Backbone(nn.Module):
         pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))  # noqa: E731
 
         x = x.astype(self.compute_dtype)
-        # Block 1-3
-        x = nn.relu(conv(64, "conv1_1")(x))
-        x = nn.relu(conv(64, "conv1_2")(x))
-        x = pool(x)
+        # Block 1: image-pair packed (full 128-lane tiles) when enabled
+        # and the batch is even; pairing first-half/second-half so the
+        # post-pool unpack restores the original batch order exactly.
+        if self.pack_block1 and x.shape[0] % 2 == 0:
+            half = x.shape[0] // 2
+            xb = jnp.concatenate([x[:half], x[half:]], axis=-1)
+            xb = nn.relu(_PairConv(64, self.compute_dtype, name="conv1_1")(xb))
+            xb = nn.relu(_PairConv(64, self.compute_dtype, name="conv1_2")(xb))
+            xb = pool(xb)
+            x = jnp.concatenate([xb[..., :64], xb[..., 64:]], axis=0)
+        else:
+            x = nn.relu(conv(64, "conv1_1")(x))
+            x = nn.relu(conv(64, "conv1_2")(x))
+            x = pool(x)
         x = nn.relu(conv(128, "conv2_1")(x))
         x = nn.relu(conv(128, "conv2_2")(x))
         x = pool(x)
