@@ -70,16 +70,19 @@ def main():
     dt = timed(kernel_only, coords, flat_scores)
     print(f"pallas suppression kernel:         {dt:7.2f} ms")
 
-    kept = kernel_only(coords, flat_scores).reshape(B, C, k)
+    kept_s, _ = kernel_only(coords, flat_scores)
+    n_out = kept_s.shape[1]
 
     @jax.jit
-    def merge(kept_s, cbp):
-        fs = kept_s.reshape(B, C * k)
+    def merge(ks, cbp):
+        fs = ks.reshape(B, C * n_out)
         ms, mi = jax.lax.top_k(fs, 200)
-        ob = jnp.take_along_axis(cbp.reshape(B, C * k, 4), mi[..., None], axis=1)
+        ob = jnp.take_along_axis(
+            cbp.reshape(B, C * k, 4), (mi % k)[..., None], axis=1
+        )
         return ms, ob
 
-    dt = timed(merge, kept, cb_p)
+    dt = timed(merge, kept_s, cb_p)
     print(f"cross-class merge top_k:           {dt:7.2f} ms")
 
 

@@ -74,10 +74,17 @@ def _nms_kernel(
     out_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, max_out), 1)
 
     def emit(j, carry):
-        remaining, acc_s, acc_c = carry
+        remaining, acc_s, acc_c, _ = carry
         s = jnp.max(remaining, axis=1, keepdims=True)  # (R, 1)
         idx = jnp.argmax(remaining, axis=1).reshape(rows, 1)  # (R, 1)
         valid = s > score_threshold  # (R, 1) bool
+        # Activity flag for the NEXT iteration from this iteration's
+        # per-row maxima — a (R, 1) reduce instead of the full (R, k)
+        # plane max the old early-exit recomputed every step. A row that
+        # emits its last candidate at step j keeps the flag up for j+1
+        # (whose s is then 0): at most one spare iteration, never a
+        # skipped live one.
+        next_active = jnp.max(s) > score_threshold
         onehot = col_ids == idx  # (R, k) bool
         # Compact emit: slot j of the survivor list takes this winner's
         # (score, column) — lane-select into loop-carried accumulators
@@ -89,12 +96,15 @@ def _nms_kernel(
         acc_c = jnp.where(hit, idx, acc_c)
         # Winner coordinates per row via masked reduce (dynamic lane
         # gathers don't lower in Mosaic for these shapes); the winner's
-        # area follows from its corners.
-        onehot_f = onehot.astype(cdt)
-        wx1 = jnp.sum(x1 * onehot_f, axis=1, keepdims=True)
-        wy1 = jnp.sum(y1 * onehot_f, axis=1, keepdims=True)
-        wx2 = jnp.sum(x2 * onehot_f, axis=1, keepdims=True)
-        wy2 = jnp.sum(y2 * onehot_f, axis=1, keepdims=True)
+        # area follows from its corners. select+max instead of
+        # cast+mul+sum: coordinates are clipped to [0, 1] upstream
+        # (box_ops.decode(clip=True)), so 0 is a safe mask identity and
+        # the onehot->dtype cast plane op disappears.
+        zero = cdt.type(0)
+        wx1 = jnp.max(jnp.where(onehot, x1, zero), axis=1, keepdims=True)
+        wy1 = jnp.max(jnp.where(onehot, y1, zero), axis=1, keepdims=True)
+        wx2 = jnp.max(jnp.where(onehot, x2, zero), axis=1, keepdims=True)
+        wy2 = jnp.max(jnp.where(onehot, y2, zero), axis=1, keepdims=True)
         w_area = jnp.maximum(wx2 - wx1, cdt.type(0)) * jnp.maximum(
             wy2 - wy1, cdt.type(0)
         )
@@ -114,18 +124,19 @@ def _nms_kernel(
             # compare per emit upcasts to f32.
             lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
         suppress = valid & (onehot | (lhs > rhs))
-        return jnp.where(suppress, 0.0, remaining), acc_s, acc_c
+        return jnp.where(suppress, 0.0, remaining), acc_s, acc_c, next_active
 
     def body(j, carry):
         # Early-exit shortcut: once every row's candidates fall below the
         # score threshold, remaining iterations cost one scalar compare
-        # (accumulators start zeroed, so skipped slots are empty).
-        any_active = jnp.max(carry[0]) > score_threshold
+        # (accumulators start zeroed, so skipped slots are empty). The
+        # flag is carried from the previous emit's per-row maxima — see
+        # next_active in emit().
         return jax.lax.cond(
-            any_active, lambda c: emit(j, c), lambda c: c, carry
+            carry[3], lambda c: emit(j, c), lambda c: c, carry
         )
 
-    _, out_s, out_c = jax.lax.fori_loop(
+    _, out_s, out_c, _ = jax.lax.fori_loop(
         0,
         max_out,
         body,
@@ -133,6 +144,7 @@ def _nms_kernel(
             scores,
             jnp.zeros((rows, max_out), jnp.float32),
             jnp.zeros((rows, max_out), jnp.int32),
+            jnp.max(scores) > score_threshold,
         ),
     )
     out_scores_ref[:] = out_s
@@ -354,6 +366,10 @@ def pallas_per_class_nms_batched(
     """Batched per-class NMS. All B*C (image, class) problems become kernel
     rows — one pallas_call for the whole batch (do NOT vmap this; the batch
     dim is already folded into rows).
+
+    Boxes are corner-form with NON-NEGATIVE coordinates (the decode path
+    clips to [0, 1]); the kernel's winner-coordinate extraction relies on
+    0 being a masking identity.
 
     Candidate selection is CLASS-AGNOSTIC: SSD boxes are shared across
     classes, so the top M anchors by max-class score are selected once per
