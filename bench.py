@@ -219,12 +219,29 @@ def main() -> None:
         qp = qengine.quantize_params(float_params, spec, scales)
         params = jax.device_put(qp)
 
-        @jax.jit
-        def infer(p, images_u8):
-            imgs = aug_ops.normalize(images_u8.astype(jnp.float32) / 255.0)
-            cls_logits, box_offsets = qengine.int8_forward(p, spec, cfg, imgs)
-            det = postprocess(cls_logits, box_offsets, anchors, cfg, use_pallas=True)
-            return det.boxes, det.scores, det.classes, det.valid
+        if cfg.eval.per_level_heads:
+            # Honor the config's postprocess path so a default flip
+            # reaches the driver's number (r2 verdict bench-drift lesson).
+            from object_detector_tpu.ops.postprocess import postprocess_levels
+
+            @jax.jit
+            def infer(p, images_u8):
+                imgs = aug_ops.normalize(images_u8.astype(jnp.float32) / 255.0)
+                lvl_cls, lvl_box = qengine.int8_forward(
+                    p, spec, cfg, imgs, concat_heads=False
+                )
+                det = postprocess_levels(lvl_cls, lvl_box, anchors, cfg)
+                return det.boxes, det.scores, det.classes, det.valid
+
+        else:
+            @jax.jit
+            def infer(p, images_u8):
+                imgs = aug_ops.normalize(images_u8.astype(jnp.float32) / 255.0)
+                cls_logits, box_offsets = qengine.int8_forward(p, spec, cfg, imgs)
+                det = postprocess(
+                    cls_logits, box_offsets, anchors, cfg, use_pallas=True
+                )
+                return det.boxes, det.scores, det.classes, det.valid
 
     else:
         params = float_params

@@ -94,12 +94,30 @@ def _bench_int8(preset: str, bs: int, fused_stem=None, iters: int = 30) -> float
         forward = qengine.int8_forward
     qp = jax.device_put(qp)
 
-    @jax.jit
-    def infer(q, x_u8):
-        imgs = aug_ops.normalize(x_u8.astype(jnp.float32) / 255.0)
-        cls, box = forward(q, spec, cfg, imgs)
-        det = postprocess(cls, box, anchors, cfg, use_pallas=on_tpu)
-        return det.boxes, det.scores, det.classes, det.valid
+    # Honor the config's postprocess path (per_level_heads) so a default
+    # flip reaches this headline number — the r2 verdict's bench-drift
+    # lesson (the int8 FPN check mirrors evaluator.make_int8_predict_fn).
+    int8_fpn = (
+        cfg.model.family != "retinanet" or "fpn/lateral3" in qp.w_int8
+    )
+    per_level = cfg.eval.per_level_heads and on_tpu and int8_fpn
+    if per_level:
+        from object_detector_tpu.ops.postprocess import postprocess_levels
+
+        @jax.jit
+        def infer(q, x_u8):
+            imgs = aug_ops.normalize(x_u8.astype(jnp.float32) / 255.0)
+            lvl_cls, lvl_box = forward(q, spec, cfg, imgs, concat_heads=False)
+            det = postprocess_levels(lvl_cls, lvl_box, anchors, cfg)
+            return det.boxes, det.scores, det.classes, det.valid
+
+    else:
+        @jax.jit
+        def infer(q, x_u8):
+            imgs = aug_ops.normalize(x_u8.astype(jnp.float32) / 255.0)
+            cls, box = forward(q, spec, cfg, imgs)
+            det = postprocess(cls, box, anchors, cfg, use_pallas=on_tpu)
+            return det.boxes, det.scores, det.classes, det.valid
 
     dt = timed(infer, qp, images, iters=iters)
     return bs / dt

@@ -240,6 +240,16 @@ class EvalConfig:
     # on this target, so the per-emit compare upcasts to f32 and the
     # converts eat the plane-op saving). Stays OFF: exactness for free.
     nms_coord_bf16: bool = False
+    # Per-level head consumption (int8 + Pallas path): postprocess reads
+    # each head's native (B, H, W, a*C) output and prefilters per level
+    # (two-stage exact top-k), so the concatenated (B, A, C) logits tensor
+    # — 251 MB bf16 at SSD-512/COCO bs=64, ~2.8 ms of retile + concat +
+    # full-tensor class-max traffic (r3 HLO profile) — never exists.
+    # Candidate SET is exactly the one-shot global top-M's (cross-level
+    # score-tie ordering can differ; greedy NMS is insensitive except on
+    # exact ties). OFF pending the on-chip A/B
+    # (benchmarks/per_level_ab.py) — ledger discipline.
+    per_level_heads: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -13,7 +13,7 @@ from object_detector_tpu.data.pipeline import DecodedCache
 from object_detector_tpu.data.types import Dataset
 from object_detector_tpu.eval.map import MeanAPEvaluator
 from object_detector_tpu.ops import augment as aug_ops
-from object_detector_tpu.ops.postprocess import postprocess
+from object_detector_tpu.ops.postprocess import postprocess, postprocess_levels
 
 
 def make_predict_fn(cfg: DetectorConfig, model: Any, anchors_center: np.ndarray,
@@ -51,17 +51,25 @@ def make_int8_predict_fn(
     if cfg.model.family == "retinanet":
         qp, spec = qengine.quantize_retinanet(cfg, variables, [calib])
         forward = qengine.retinanet_int8_forward
+        int8_fpn = "fpn/lateral3" in qp.w_int8
     else:
         qp, spec = qengine.quantize_ssd(
             cfg, variables["params"], [calib],
             batch_stats=variables.get("batch_stats"),
         )
         forward = qengine.int8_forward
+        int8_fpn = True
     qp = jax.device_put(qp)
+    pallas = cfg.eval.use_pallas_nms if use_pallas is None else use_pallas
+    per_level = cfg.eval.per_level_heads and pallas and int8_fpn
 
     @jax.jit
     def predict(images_u8):
         images = aug_ops.normalize(images_u8.astype(jnp.float32) / 255.0)
+        if per_level:
+            cls_lvls, box_lvls = forward(qp, spec, cfg, images,
+                                         concat_heads=False)
+            return postprocess_levels(cls_lvls, box_lvls, anchors_const, cfg)
         cls_logits, box_offsets = forward(qp, spec, cfg, images)
         return postprocess(cls_logits, box_offsets, anchors_const, cfg, use_pallas)
 

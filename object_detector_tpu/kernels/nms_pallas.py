@@ -526,6 +526,43 @@ def pallas_decode_nms(
         cand_offsets = jnp.take_along_axis(box_offsets, aidx[..., None], axis=1)
         cand_anchors = jnp.take(anchors_center, aidx, axis=0)  # (B, M, 4)
 
+    return _candidates_decode_nms(
+        cand_logits, cand_offsets, cand_anchors, m, m_eff,
+        center_variance=center_variance, size_variance=size_variance,
+        class_top_k=class_top_k, max_per_class=max_per_class,
+        max_detections=max_detections, iou_threshold=iou_threshold,
+        score_threshold=score_threshold, interpret=interpret,
+        exact_prefilter=exact_prefilter, recall_target=recall_target,
+        packed_sort=packed_sort, coord_bf16=coord_bf16,
+    )
+
+
+def _candidates_decode_nms(
+    cand_logits: Array,  # (B, M', C) raw logits (any float dtype)
+    cand_offsets: Array,  # (B, M', 4) f32 SSD-encoded offsets
+    cand_anchors: Array,  # (B, M', 4) center-form anchors
+    m: int,  # lane-rounded kernel row width (>= M')
+    m_eff: int,
+    *,
+    center_variance: float,
+    size_variance: float,
+    class_top_k: int,
+    max_per_class: int,
+    max_detections: int,
+    iou_threshold: float,
+    score_threshold: float,
+    interpret: bool,
+    exact_prefilter: bool,
+    recall_target: float,
+    packed_sort: bool,
+    coord_bf16: bool,
+) -> Detections:
+    """Shared tail of the decode-NMS entry points: sigmoid + box decode on
+    the gathered candidates only, lane pad, then the suppression kernel +
+    cross-class merge."""
+    from object_detector_tpu.ops import boxes as box_ops
+
+    batch, _, num_classes = cand_logits.shape
     cand_scores = jax.nn.sigmoid(cand_logits.astype(jnp.float32))
     cand_boxes = box_ops.decode(
         cand_offsets, cand_anchors, center_variance, size_variance, clip=True
@@ -554,4 +591,179 @@ def pallas_decode_nms(
         recall_target=recall_target,
         packed_sort=packed_sort,
         coord_bf16=coord_bf16,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "anchors_per_level", "score_threshold", "iou_threshold",
+        "pre_nms_top_k", "max_detections", "max_per_class",
+        "center_variance", "size_variance", "interpret", "exact_prefilter",
+        "recall_target", "packed_sort", "class_top_k", "coord_bf16",
+    ),
+)
+def pallas_decode_nms_levels(
+    level_logits: tuple,  # per level: (B, H, W, a*C) raw logits, head-native
+    level_offsets: tuple,  # per level: (B, H, W, a*4) f32 offsets
+    anchors_center: Array,  # (A, 4) full level-major anchor set
+    anchors_per_level: tuple,  # anchors per cell (a) for each level
+    *,
+    score_threshold: float = 0.01,
+    iou_threshold: float = 0.45,
+    pre_nms_top_k: int = 256,
+    max_detections: int = 200,
+    max_per_class: int = 100,
+    center_variance: float = 0.1,
+    size_variance: float = 0.2,
+    interpret: bool | None = None,
+    exact_prefilter: bool = False,
+    recall_target: float = 0.95,
+    packed_sort: bool = False,
+    class_top_k: int = 0,
+    coord_bf16: bool = False,
+) -> Detections:
+    """Per-level candidate selection: consumes the heads' NATIVE per-level
+    (B, H, W, a*C) tensors, never materializing the concatenated (B, A, C)
+    logits (at SSD-512/COCO bs=64 that tensor is 251 MB bf16 and its
+    assembly — per-level (H, W, a*C)->(A', C) retiles plus the
+    dynamic-update-slice concat — cost ~2.8 ms of HBM traffic, r3 HLO
+    profile).
+
+    Two-stage EXACT prefilter: per level, top-min(M, N_l) anchors by
+    max-class logit (a superset of that level's contribution to the global
+    top-M, since the global top-M contains at most M anchors of any
+    level), then a global top-M over the ~Sum min(M, N_l) stage-1
+    survivors. Candidate logits/offsets are gathered per level with LOCAL
+    row indices from the native layout: one row gather of the (H*W, a*C)
+    view plus an in-register anchor-slot select — no global (B, A, C)
+    operand ever exists. The candidate SET equals the single-shot global
+    top-M exactly; only score-tie ordering across levels can differ (the
+    two-stage sort breaks cross-level ties by stage-1 slot instead of raw
+    anchor index), which greedy NMS is insensitive to except on exact
+    ties.
+
+    When exact_prefilter=False the per-level stage-1 uses approx_max_k
+    (same recall contract as the one-shot path). Results otherwise follow
+    the `pallas_per_class_nms_batched` approximation contract."""
+    batch = level_logits[0].shape[0]
+    counts = [
+        t.shape[1] * t.shape[2] * a
+        for t, a in zip(level_logits, anchors_per_level)
+    ]
+    num_anchors = sum(counts)
+    num_classes = level_logits[0].shape[-1] // anchors_per_level[0]
+    m_eff = min(2 * pre_nms_top_k, num_anchors)
+    m = _round_up(m_eff, _LANE)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # Stage 1: per-level max-class logit + top-k_l anchors (k_l = full
+    # level when it fits). The class reduce fuses with the (metadata)
+    # reshape and reads the head output in its native layout once.
+    sel_logits, sel_offsets, sel_anchors, sel_amax = [], [], [], []
+    offset = 0
+    for tap_c, tap_b, a, n_l in zip(
+        level_logits, level_offsets, anchors_per_level, counts
+    ):
+        b, h, w, _ = tap_c.shape
+        amax = jnp.max(
+            tap_c.reshape(b, h * w * a, num_classes), axis=-1
+        )  # (B, N_l) native dtype
+        k_l = min(m_eff, n_l)
+        flat_c = tap_c.reshape(b, h * w, a * num_classes)
+        flat_b = tap_b.reshape(b, h * w, a * 4)
+        if k_l >= n_l:
+            # Whole level survives stage 1: skip the sort AND the gather —
+            # the native reshape is the candidate slab.
+            sel_logits.append(tap_c.reshape(b, n_l, num_classes))
+            sel_offsets.append(tap_b.reshape(b, n_l, 4))
+            sel_anchors.append(
+                jnp.broadcast_to(
+                    anchors_center[offset : offset + n_l][None], (b, n_l, 4)
+                )
+            )
+            sel_amax.append(amax)
+        else:
+            if packed_sort:
+                from object_detector_tpu.ops.packsort import top_k_packed_idx
+
+                lidx = top_k_packed_idx(amax.astype(jnp.float32), k_l)
+                lmax = jnp.take_along_axis(amax, lidx, axis=1)
+            elif interpret or exact_prefilter:
+                lmax, lidx = jax.lax.top_k(amax, k_l)
+            else:
+                lmax, lidx = jax.lax.approx_max_k(
+                    amax, k_l, recall_target=recall_target
+                )
+            cell = lidx // a  # (B, k_l) spatial row in the native view
+            slot = lidx - cell * a  # anchor slot within the cell
+            g_c = jnp.take_along_axis(
+                flat_c, cell[..., None], axis=1
+            ).reshape(b, k_l, a, num_classes)
+            g_b = jnp.take_along_axis(
+                flat_b, cell[..., None], axis=1
+            ).reshape(b, k_l, a, 4)
+            # Anchor-slot select as a one-hot mask-sum (a is 4/6/9 — a
+            # dynamic sublane gather lowers poorly; the masked reduce is
+            # a few VPU passes over a (B, k_l, a, C) register block).
+            onehot = (
+                slot[..., None]
+                == jnp.arange(a, dtype=slot.dtype)[None, None]
+            )  # (B, k_l, a)
+            sel_logits.append(
+                jnp.sum(
+                    jnp.where(onehot[..., None], g_c, 0), axis=2
+                ).astype(tap_c.dtype)
+            )
+            sel_offsets.append(
+                jnp.sum(jnp.where(onehot[..., None], g_b, 0), axis=2)
+            )
+            sel_anchors.append(
+                jnp.take(anchors_center, offset + lidx, axis=0)
+            )
+            sel_amax.append(lmax)
+        offset += n_l
+
+    stage1_amax = jnp.concatenate(sel_amax, axis=1)  # (B, S)
+    stage1_logits = jnp.concatenate(sel_logits, axis=1)  # (B, S, C)
+    stage1_offsets = jnp.concatenate(sel_offsets, axis=1).astype(jnp.float32)
+    stage1_anchors = jnp.concatenate(sel_anchors, axis=1)
+
+    s_total = stage1_amax.shape[1]
+    if s_total > m_eff:
+        # Stage 2: global top-M over the stage-1 survivors (exact: stage 1
+        # kept a superset of every level's global-top-M contribution).
+        if packed_sort:
+            from object_detector_tpu.ops.packsort import top_k_packed_idx
+
+            aidx = top_k_packed_idx(stage1_amax.astype(jnp.float32), m_eff)
+        elif interpret or exact_prefilter:
+            _, aidx = jax.lax.top_k(stage1_amax, m_eff)
+        else:
+            _, aidx = jax.lax.approx_max_k(
+                stage1_amax, m_eff, recall_target=recall_target
+            )
+        cand_logits = jnp.take_along_axis(
+            stage1_logits, aidx[..., None], axis=1
+        )
+        cand_offsets = jnp.take_along_axis(
+            stage1_offsets, aidx[..., None], axis=1
+        )
+        cand_anchors = jnp.take_along_axis(
+            stage1_anchors, aidx[..., None], axis=1
+        )
+    else:
+        cand_logits = stage1_logits
+        cand_offsets = stage1_offsets
+        cand_anchors = stage1_anchors
+
+    return _candidates_decode_nms(
+        cand_logits, cand_offsets, cand_anchors, m, m_eff,
+        center_variance=center_variance, size_variance=size_variance,
+        class_top_k=class_top_k, max_per_class=max_per_class,
+        max_detections=max_detections, iou_threshold=iou_threshold,
+        score_threshold=score_threshold, interpret=interpret,
+        exact_prefilter=exact_prefilter, recall_target=recall_target,
+        packed_sort=packed_sort, coord_bf16=coord_bf16,
     )

@@ -1020,8 +1020,11 @@ def apply_heads_int8(
     cfg: DetectorConfig,
     pallas_l2norm: Optional[bool] = None,
     logits_dtype=jnp.float32,
+    concat: bool = True,
 ) -> Tuple[Array, Array]:
-    """Int8 prediction heads over int8 taps.
+    """Int8 prediction heads over int8 taps. concat=False returns
+    per-level native-layout tuples (see the loop comment) instead of the
+    concatenated (B, A, C)/(B, A, 4) pair.
 
     L2Norm on tap0 (VGG only) is scale-invariant in its input (x/||x||
     cancels any per-tensor scale), so it runs directly on the int8 codes
@@ -1070,8 +1073,19 @@ def apply_heads_int8(
                 # (box offsets stay f32: they become eval coordinates).
                 y = y.astype(logits_dtype)
             outs[kind] = y
+        if not concat:
+            # Per-level native layout for the per-level postprocess
+            # (ops/postprocess.postprocess_levels): the (H, W, a*C) ->
+            # (H*W*a, C) retile + concat of every level cost ~2.8 ms HBM
+            # at SSD-512/COCO bs=64 (r3 HLO profile: reshape.24 +
+            # dynamic-update-slice concat + copy.69).
+            cls_out.append(outs["cls"])
+            box_out.append(outs["box"])
+            continue
         cls_out.append(outs["cls"].reshape(b, h * w * a, cfg.model.num_classes))
         box_out.append(outs["box"].reshape(b, h * w * a, 4))
+    if not concat:
+        return tuple(cls_out), tuple(box_out)
     return jnp.concatenate(cls_out, axis=1), jnp.concatenate(box_out, axis=1)
 
 
@@ -1150,10 +1164,13 @@ def int8_forward(
     images: Array,
     int8_heads: bool = True,
     input_hwcn: bool = False,
+    concat_heads: bool = True,
 ) -> Tuple[Array, Array]:
     """Normalized float images -> (cls_logits, box_offsets), int8 trunk.
 
-    input_hwcn: images staged (S, S, 3, B) — see run_int8."""
+    input_hwcn: images staged (S, S, 3, B) — see run_int8.
+    concat_heads=False (int8 heads only): per-level native-layout tuples
+    for postprocess_levels."""
     if int8_heads:
         taps_q = run_int8(
             qp, spec, images, dequantize_taps=False, input_hwcn=input_hwcn
@@ -1161,7 +1178,9 @@ def int8_forward(
         logits_dtype = (
             jnp.bfloat16 if cfg.eval.int8_logits_bf16 else jnp.float32
         )
-        return apply_heads_int8(qp, taps_q, cfg, logits_dtype=logits_dtype)
+        return apply_heads_int8(
+            qp, taps_q, cfg, logits_dtype=logits_dtype, concat=concat_heads
+        )
     taps = run_int8(qp, spec, images, input_hwcn=input_hwcn)
     return apply_heads(qp.float_params, taps, cfg)
 
@@ -1265,8 +1284,11 @@ def run_float_fpn_heads(
 def run_int8_fpn_heads(
     qp: QuantParams, cfg: DetectorConfig, taps_q: List[Tuple[Array, float]],
     logits_dtype=jnp.float32,
+    concat: bool = True,
 ) -> Tuple[Array, Array]:
-    """Int8 FPN + shared heads over int8 trunk taps (see section comment)."""
+    """Int8 FPN + shared heads over int8 trunk taps (see section comment).
+    concat=False returns per-level native-layout (B, H, W, 9*n) tuples for
+    the per-level postprocess (same rationale as apply_heads_int8)."""
     sc = qp.act_scale
 
     def conv_f32(x_q, s_in, path, stride=1):
@@ -1310,8 +1332,13 @@ def run_int8_fpn_heads(
                 # bf16 cast fuses into the out-conv epilogue (see
                 # apply_heads_int8); box offsets stay f32.
                 y = y.astype(logits_dtype)
+            if not concat:
+                outs[head].append(y)
+                continue
             b, h, w, _ = y.shape
             outs[head].append(y.reshape(b, h * w * 9, n_out))
+    if not concat:
+        return tuple(outs["cls_head"]), tuple(outs["box_head"])
     return (
         jnp.concatenate(outs["cls_head"], axis=1),
         jnp.concatenate(outs["box_head"], axis=1),
@@ -1357,18 +1384,22 @@ def quantize_retinanet(
 def retinanet_int8_forward(
     qp: QuantParams, spec: Spec, cfg: DetectorConfig, images: Array,
     dtype=jnp.bfloat16,
+    concat_heads: bool = True,
 ) -> Tuple[Array, Array]:
     """Normalized float images -> (cls_logits, box_offsets).
 
     Runs the int8 FPN/heads when their weights are present in `qp`
     (default quantize_retinanet output), else the float flax modules over
-    dequantized taps (legacy r1/r2 path)."""
+    dequantized taps (legacy r1/r2 path). concat_heads=False (int8
+    FPN/heads only): per-level native tuples for postprocess_levels."""
     if "fpn/lateral3" in qp.w_int8:
         taps_q = run_int8(qp, spec, images, dequantize_taps=False)
         logits_dtype = (
             jnp.bfloat16 if cfg.eval.int8_logits_bf16 else jnp.float32
         )
-        return run_int8_fpn_heads(qp, cfg, taps_q, logits_dtype=logits_dtype)
+        return run_int8_fpn_heads(
+            qp, cfg, taps_q, logits_dtype=logits_dtype, concat=concat_heads
+        )
 
     from object_detector_tpu.models.retinanet import FPN, RetinaNetHead
 

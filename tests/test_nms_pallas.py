@@ -313,3 +313,96 @@ def test_coord_bf16_detection_set_close(rng):
     )
     jac = len(s32 & s16) / max(len(s32 | s16), 1)
     assert jac > 0.97, f"bf16-coord detection set diverged: jaccard={jac}"
+
+
+def _random_levels(rng, B=2, C=5, shapes=((8, 8, 4), (4, 4, 6), (2, 2, 4))):
+    """Per-level native head tensors + matching concat + anchors."""
+    lvl_cls, lvl_box = [], []
+    for h, w, a in shapes:
+        lvl_cls.append(
+            jnp.asarray(rng.normal(-3.0, 1.5, (B, h, w, a * C)).astype(np.float32))
+        )
+        lvl_box.append(
+            jnp.asarray(rng.normal(0, 0.4, (B, h, w, a * 4)).astype(np.float32))
+        )
+    A = sum(h * w * a for h, w, a in shapes)
+    cls_cat = jnp.concatenate(
+        [t.reshape(B, -1, C) for t in lvl_cls], axis=1
+    )
+    box_cat = jnp.concatenate(
+        [t.reshape(B, -1, 4) for t in lvl_box], axis=1
+    )
+    anchors = rng.uniform(0.2, 0.8, (A, 4)).astype(np.float32)
+    anchors[:, 2:] = rng.uniform(0.05, 0.3, (A, 2))  # center-form w/h > 0
+    return lvl_cls, lvl_box, cls_cat, box_cat, jnp.asarray(anchors)
+
+
+def test_per_level_decode_nms_matches_concat(rng):
+    """pallas_decode_nms_levels == pallas_decode_nms on the concatenated
+    tensors: the two-stage exact prefilter selects the same candidate set
+    as the one-shot global top-M (both paths exercise a level wider than
+    M — gather branch — and levels narrower than M — whole-level
+    branch)."""
+    from object_detector_tpu.kernels.nms_pallas import (
+        pallas_decode_nms,
+        pallas_decode_nms_levels,
+    )
+
+    shapes = ((8, 8, 4), (4, 4, 6), (2, 2, 4))
+    lvl_cls, lvl_box, cls_cat, box_cat, anchors = _random_levels(
+        rng, shapes=shapes
+    )
+    kw = dict(
+        score_threshold=0.01,
+        iou_threshold=0.5,
+        pre_nms_top_k=64,  # m_eff=128 < level0's 256 anchors
+        max_detections=16,
+        max_per_class=8,
+        exact_prefilter=True,
+        interpret=True,
+    )
+    det_cat = pallas_decode_nms(cls_cat, box_cat, anchors, **kw)
+    det_lvl = pallas_decode_nms_levels(
+        tuple(lvl_cls), tuple(lvl_box), anchors,
+        tuple(s[2] for s in shapes), **kw
+    )
+    for i in range(cls_cat.shape[0]):
+        assert _as_set(
+            type(det_cat)(det_cat.boxes[i], det_cat.scores[i],
+                          det_cat.classes[i], det_cat.valid[i])
+        ) == _as_set(
+            type(det_lvl)(det_lvl.boxes[i], det_lvl.scores[i],
+                          det_lvl.classes[i], det_lvl.valid[i])
+        )
+
+
+def test_per_level_all_levels_fit(rng):
+    """When every level fits inside M (stage 1 keeps whole levels) the
+    per-level path must still equal the one-shot path exactly."""
+    from object_detector_tpu.kernels.nms_pallas import (
+        pallas_decode_nms,
+        pallas_decode_nms_levels,
+    )
+
+    shapes = ((4, 4, 4), (2, 2, 6))
+    lvl_cls, lvl_box, cls_cat, box_cat, anchors = _random_levels(
+        rng, C=3, shapes=shapes
+    )
+    kw = dict(
+        score_threshold=0.01, iou_threshold=0.45, pre_nms_top_k=64,
+        max_detections=10, max_per_class=10, exact_prefilter=True,
+        interpret=True,
+    )
+    det_cat = pallas_decode_nms(cls_cat, box_cat, anchors, **kw)
+    det_lvl = pallas_decode_nms_levels(
+        tuple(lvl_cls), tuple(lvl_box), anchors,
+        tuple(s[2] for s in shapes), **kw
+    )
+    for i in range(cls_cat.shape[0]):
+        assert _as_set(
+            type(det_cat)(det_cat.boxes[i], det_cat.scores[i],
+                          det_cat.classes[i], det_cat.valid[i])
+        ) == _as_set(
+            type(det_lvl)(det_lvl.boxes[i], det_lvl.scores[i],
+                          det_lvl.classes[i], det_lvl.valid[i])
+        )

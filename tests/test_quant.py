@@ -615,3 +615,74 @@ def test_fused_bottleneck_spec_matches_unfused_spec():
     for a, b in zip(jax.tree_util.tree_leaves(t_fused),
                     jax.tree_util.tree_leaves(t_unfused)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_per_level_heads_match_concat_ssd(setup):
+    """int8_forward(concat_heads=False) + postprocess_levels must produce
+    the same detection set as the concat path + postprocess (per-level
+    two-stage prefilter is exact; see pallas_decode_nms_levels)."""
+    from object_detector_tpu.anchors.priors import ssd_anchors
+    from object_detector_tpu.ops.postprocess import (
+        postprocess,
+        postprocess_levels,
+    )
+    from tests.test_nms_pallas import _as_set
+
+    cfg, model, params, x = setup
+    anchors = jnp.asarray(ssd_anchors(cfg.anchors, cfg.model.image_size))
+    qp, spec = engine.quantize_ssd(cfg, params, [x])
+    cls_cat, box_cat = engine.int8_forward(qp, spec, cfg, x)
+    lvl_cls, lvl_box = engine.int8_forward(qp, spec, cfg, x,
+                                           concat_heads=False)
+    # Per-level native tensors must concat back to the one-shot outputs.
+    b = x.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(
+            jnp.concatenate(
+                [t.reshape(b, -1, cfg.model.num_classes) for t in lvl_cls],
+                axis=1,
+            )
+        ),
+        np.asarray(cls_cat),
+    )
+    det_cat = postprocess(cls_cat, box_cat, anchors, cfg, use_pallas=True)
+    det_lvl = postprocess_levels(lvl_cls, lvl_box, anchors, cfg)
+    for i in range(b):
+        assert _as_set(
+            type(det_cat)(det_cat.boxes[i], det_cat.scores[i],
+                          det_cat.classes[i], det_cat.valid[i])
+        ) == _as_set(
+            type(det_lvl)(det_lvl.boxes[i], det_lvl.scores[i],
+                          det_lvl.classes[i], det_lvl.valid[i])
+        )
+
+
+@pytest.mark.slow
+def test_per_level_heads_match_concat_retinanet():
+    """RetinaNet int8 FPN/heads per-level path == concat path."""
+    from object_detector_tpu.anchors.priors import anchors_for_model
+    from object_detector_tpu.ops.postprocess import (
+        postprocess,
+        postprocess_levels,
+    )
+    from tests.test_nms_pallas import _as_set
+
+    cfg, model, variables, x = _retinanet_setup()
+    anchors = jnp.asarray(
+        anchors_for_model("retinanet", cfg.anchors, cfg.model.image_size)
+    )
+    qp, spec = engine.quantize_retinanet(cfg, variables, [x])
+    cls_cat, box_cat = engine.retinanet_int8_forward(qp, spec, cfg, x)
+    lvl_cls, lvl_box = engine.retinanet_int8_forward(
+        qp, spec, cfg, x, concat_heads=False
+    )
+    det_cat = postprocess(cls_cat, box_cat, anchors, cfg, use_pallas=True)
+    det_lvl = postprocess_levels(lvl_cls, lvl_box, anchors, cfg)
+    for i in range(x.shape[0]):
+        assert _as_set(
+            type(det_cat)(det_cat.boxes[i], det_cat.scores[i],
+                          det_cat.classes[i], det_cat.valid[i])
+        ) == _as_set(
+            type(det_lvl)(det_lvl.boxes[i], det_lvl.scores[i],
+                          det_lvl.classes[i], det_lvl.valid[i])
+        )
