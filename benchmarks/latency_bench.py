@@ -1,5 +1,14 @@
 """p50 single-image latency (BASELINE metric #3): uint8 image -> detections,
-bs=1, full on-chip pipeline."""
+bs=1, full on-chip pipeline.
+
+Measures BOTH serving paths — int8 (quantize_ssd -> int8_forward ->
+Pallas NMS, the throughput default) and bf16 float — and reports the
+faster one as the primary p50: a latency-optimized bs=1 deployment picks
+its serving config, and at bs=1 the int8 per-conv requant overhead is not
+amortized (measured 1.57 ms int8 vs 1.09 ms bf16 on v5e-1), so bf16 is
+the production bs=1 path. Both raw numbers + the chosen path are in the
+JSON. Calibration uses a synthetic batch (scale choice shifts
+quantization rounding, not timing)."""
 
 import os
 import sys
@@ -34,6 +43,8 @@ def main():
     from object_detector_tpu.ops import augment as aug_ops
     from object_detector_tpu.ops.postprocess import postprocess
 
+    from object_detector_tpu.quant import engine as qengine
+
     cfg = get_config("ssd300_vgg16_voc")
     s = cfg.model.image_size
     on_tpu = jax.default_backend() == "tpu"
@@ -41,30 +52,52 @@ def main():
     variables = model.init(jax.random.key(0), jnp.zeros((1, s, s, 3)), train=False)
     anchors = jnp.asarray(ssd_anchors(cfg.anchors, s))
 
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.integers(0, 255, (1, s, s, 3), dtype=np.uint8))
+    params = variables["params"]
+
+    calib = aug_ops.normalize(
+        jnp.asarray(rng.integers(0, 255, (8, s, s, 3), dtype=np.uint8))
+        .astype(jnp.float32) / 255.0
+    )
+    qp, spec = qengine.quantize_ssd(cfg, params, [calib])
+    qp = jax.device_put(qp)
+
     @jax.jit
-    def infer(p, x):
+    def infer(q, x):
+        images = aug_ops.normalize(x.astype(jnp.float32) / 255.0)
+        cls, box = qengine.int8_forward(q, spec, cfg, images)
+        det = postprocess(cls, box, anchors, cfg, use_pallas=on_tpu)
+        return det.boxes, det.scores, det.classes, det.valid
+
+    @jax.jit
+    def infer_f(p, x):
         images = aug_ops.normalize(x.astype(jnp.float32) / 255.0)
         cls, box = model.apply({"params": p}, images, train=False)
         det = postprocess(cls, box, anchors, cfg, use_pallas=on_tpu)
         return det.boxes, det.scores, det.classes, det.valid
 
-    rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.integers(0, 255, (1, s, s, 3), dtype=np.uint8))
-    params = variables["params"]
-
     from benchmarks.timing import fetch_overhead, timed
 
-    # On-device compute latency (tunnel-corrected, steady state).
-    dt = timed(infer, params, image, iters=100)
-    print(f"bs=1 on-device latency (p50 proxy, steady state): {dt*1e3:.2f} ms")
+    # On-device compute latency (tunnel-corrected, steady state), both
+    # serving paths; the faster one is the primary p50 (see docstring).
+    dt_i8 = timed(infer, qp, image, iters=100)
+    print(f"bs=1 on-device latency int8: {dt_i8*1e3:.2f} ms")
+    dt_f = timed(infer_f, params, image, iters=100)
+    print(f"bs=1 on-device latency bf16: {dt_f*1e3:.2f} ms")
+    if dt_f <= dt_i8:
+        dt, path, fast_fn, fast_p = dt_f, "bf16", infer_f, params
+    else:
+        dt, path, fast_fn, fast_p = dt_i8, "int8", infer, qp
+    print(f"bs=1 p50 (primary, {path} path): {dt*1e3:.2f} ms")
 
     # End-to-end including the tunnel round-trip (what a remote client sees).
-    out = infer(params, image)
+    out = fast_fn(fast_p, image)
     rt = fetch_overhead(out)
     lat = []
     for _ in range(30):
         t0 = time.perf_counter()
-        o = infer(params, image)
+        o = fast_fn(fast_p, image)
         _ = jax.device_get(jax.tree.leaves(o)[0][:1])
         lat.append((time.perf_counter() - t0) * 1e3)
     lat = np.asarray(lat)
@@ -77,6 +110,9 @@ def main():
 
         print(json.dumps({
             "p50_latency_ms_bs1": round(dt * 1e3, 3),
+            "p50_latency_path": path,
+            "p50_latency_ms_bs1_int8": round(dt_i8 * 1e3, 3),
+            "p50_latency_ms_bs1_bf16": round(dt_f * 1e3, 3),
             "e2e_p50_ms_incl_tunnel": round(float(np.percentile(lat, 50)), 2),
         }))
 

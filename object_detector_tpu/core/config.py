@@ -191,8 +191,13 @@ class EvalConfig:
     # default: at SSD candidate counts (M=512 of A=8732) XLA lowers BOTH
     # approx_max_k and top_k to the same full variadic sort (verified in
     # the compiled HLO, benchmarks/profile_int8.py), so approximation
-    # bought nothing — exactness is free. approx_max_k remains available
-    # for shapes where PartialReduce actually kicks in.
+    # bought nothing — exactness is free. At COCO anchor counts
+    # (A=24564/49104) PartialReduce DOES kick in, so the COCO presets
+    # set False: +2.1% SSD-512, +9.9% RetinaNet with zero top-20 score
+    # deviation on the check corpus (chip_logs/prefilter_ab.log; recall
+    # contract: approx_max_k recall >= nms_recall_target per row, and
+    # the r2 compiled-vs-oracle evidence matched exact 1.0 on real-chip
+    # corpora — benchmarks/tpu_nms_check_results.json).
     nms_exact_prefilter: bool = True
     nms_recall_target: float = 0.95  # approx_max_k recall (ignored if exact)
     # Per-class survivor cap = kernel's sequential iteration count. 100 is
@@ -369,7 +374,14 @@ def _ssd512_resnet50_coco() -> DetectorConfig:
         # ABAB, top-20 score parity asserted) — the (64, 24564, 80)
         # logits tensor is the largest postprocess operand and bf16
         # halves every pass over it.
-        eval=EvalConfig(map_style="coco", int8_logits_bf16=True),
+        # nms_exact_prefilter=False: at COCO candidate counts the
+        # approx_max_k PartialReduce actually kicks in (unlike SSD-300,
+        # where both lower to the same sort) — measured +2.1% end-to-end
+        # with zero top-20 score deviation on the check corpus
+        # (benchmarks/chip_logs/prefilter_ab.log; recall contract
+        # documented at EvalConfig.nms_exact_prefilter).
+        eval=EvalConfig(map_style="coco", int8_logits_bf16=True,
+                        nms_exact_prefilter=False),
     )
 
 
@@ -391,7 +403,13 @@ def _retinanet_fpn_coco() -> DetectorConfig:
         # int8_logits_bf16: measured +11.7% end-to-end on v5e-1 (974 ->
         # 1087 img/s, benchmarks/chip_logs/logits_ab.log; same contract
         # as the SSD-512 preset above).
-        eval=EvalConfig(map_style="coco", int8_logits_bf16=True),
+        # nms_exact_prefilter=False: measured +9.9% end-to-end (1096 ->
+        # 1205 img/s, chip_logs/prefilter_ab.log, zero top-20 score
+        # deviation) — RetinaNet's A=49104 makes the exact top-k sort
+        # the single most expensive postprocess op, and approx_max_k's
+        # PartialReduce replaces it.
+        eval=EvalConfig(map_style="coco", int8_logits_bf16=True,
+                        nms_exact_prefilter=False),
         mesh=MeshConfig(data_parallel=16),
     )
 

@@ -110,12 +110,14 @@ def _nms_kernel(
         )
         # Winner-vs-all IoU, rows independent; suppression in boolean
         # masks.
+        # One clamp, not two: inter = max(iw, 0) * ih is sign-safe — if
+        # ih < 0 the product is <= 0 and rhs >= 0, so the suppression
+        # compare is false either way (the double-clamp spent an extra
+        # (R, k) plane to make inter exactly 0 there).
         iw = jnp.maximum(
             jnp.minimum(wx2, x2) - jnp.maximum(wx1, x1), cdt.type(0)
         )
-        ih = jnp.maximum(
-            jnp.minimum(wy2, y2) - jnp.maximum(wy1, y1), cdt.type(0)
-        )
+        ih = jnp.minimum(wy2, y2) - jnp.maximum(wy1, y1)
         inter = iw * ih
         lhs, rhs = inter, area_scaled + w_area * t_ratio
         if cdt == jnp.bfloat16:
@@ -123,7 +125,11 @@ def _nms_kernel(
             # support this comparison"): arithmetic stays bf16, the one
             # compare per emit upcasts to f32.
             lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
-        suppress = valid & (onehot | (lhs > rhs))
+        # No `valid &` on the full-width mask: when a row is below the
+        # score threshold its whole `remaining` is already below it, so
+        # the spurious zeroing can never change what later emits see (the
+        # per-slot `hit` stays valid-gated — dead rows emit nothing).
+        suppress = onehot | (lhs > rhs)
         return jnp.where(suppress, 0.0, remaining), acc_s, acc_c, next_active
 
     def body(j, carry):
@@ -645,7 +651,13 @@ def pallas_decode_nms_levels(
 
     When exact_prefilter=False the per-level stage-1 uses approx_max_k
     (same recall contract as the one-shot path). Results otherwise follow
-    the `pallas_per_class_nms_batched` approximation contract."""
+    the `pallas_per_class_nms_batched` approximation contract.
+
+    STATUS (r3, v5e-1): MEASURED LOSS vs the concat path — 0.90x
+    SSD-300, 0.93x SSD-512, 1.01x RetinaNet (chip_logs/per_level_ab.log,
+    parity clean). The stage-1 per-level lax.top_k sorts dominate the
+    saved concat traffic. Off by default (EvalConfig.per_level_heads);
+    kept as the exact-parity scaffold for a future sort-free stage 1."""
     batch = level_logits[0].shape[0]
     counts = [
         t.shape[1] * t.shape[2] * a

@@ -96,7 +96,16 @@ def postprocess_levels(
     SSD-512/COCO bs=64, ~2.8 ms to assemble — r3 HLO profile) never
     exist. Exact same candidate set as `postprocess` with use_pallas=True
     (two-stage exact prefilter; see pallas_decode_nms_levels). Pallas
-    path only — pair with EvalConfig.per_level_heads."""
+    path only — pair with EvalConfig.per_level_heads.
+
+    STATUS (r3, v5e-1, chip_logs/per_level_ab.log): MEASURED LOSS —
+    0.90x SSD-300, 0.93x SSD-512, 1.01x RetinaNet vs the concat path.
+    The per-level stage-1 top-k sorts (top-M of 16384/6144/... rows per
+    level) cost more than the (B, A, C) assembly they avoid; lax.top_k
+    over many mid-size rows is the dominant term, consistent with the
+    nms_narrow A/B (top_k over (5120, 512) 0.72x). Kept off-default as
+    the documented negative result; per-level consumption would need a
+    sort-free stage 1 (threshold-scatter or fused Pallas reduce) to win."""
     from object_detector_tpu.kernels.nms_pallas import pallas_decode_nms_levels
 
     return pallas_decode_nms_levels(

@@ -57,6 +57,16 @@ class ConvOp:
     # int8 path (same int32 MACs reordered + zeros); float inputs fall
     # back to direct so the float interpreter stays unchanged.
     algo: str = "direct"
+    # Image-pair channel packing (between PackImagesOp/UnpackImagesOp):
+    # the activation holds TWO images in its channel dim, so the kernel
+    # is applied block-diagonally ((kh,kw,2ci,2co), zeros off-diagonal)
+    # and per-channel dequant/bias vectors are tiled x2. Bit-exact (the
+    # off-diagonal zeros contribute nothing; per-tensor activation
+    # scales see the same element multiset). Why: sub-128-channel convs
+    # (ResNet stem Cin=3, stage-1 64-ch) underfill MXU lanes/contraction
+    # — measured 1.35x (stem 7x7), 2.4x (1x1 64ch), 1.42x (3x3 64ch)
+    # isolated (benchmarks/chip_logs/resnet_conv_ab.log).
+    img_pack: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,6 +121,30 @@ class BottleneckOp:
         return (
             f"{self.base}/conv1", f"{self.base}/conv2", f"{self.base}/conv3"
         )
+
+
+@dataclasses.dataclass(frozen=True)
+class PackImagesOp:
+    """(B, H, W, C) -> (B/2, H, W, 2C): first/second batch halves merged
+    into channel groups, so downstream img_pack ConvOps run block-diag at
+    full MXU lane/contraction fill. No-op when B is odd (the matching
+    ConvOps then also run unpacked — resolved statically at trace time
+    from the batch shape, see run_int8/run_float)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class UnpackImagesOp:
+    """(B/2, H, W, 2C) -> (B, H, W, C): inverse of PackImagesOp."""
+
+
+def _block_diag2(w: Array) -> Array:
+    """(kh, kw, ci, co) -> (kh, kw, 2ci, 2co) block-diagonal kernel."""
+    kh, kw, ci, co = w.shape
+    z = jnp.zeros((kh, kw, ci, co), w.dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], axis=3), jnp.concatenate([z, w], axis=3)],
+        axis=2,
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -184,8 +218,10 @@ def build_spec(cfg: DetectorConfig, fused_stem: Optional[bool] = None) -> Spec:
 
 def _expand_spec(spec: Spec) -> Spec:
     """Expand fused BottleneckOps into their equivalent unfused op chains
-    (used by the float interpreter, calibration and weight quantization so
-    fused and unfused specs share one QuantParams by construction)."""
+    and strip image-pair packing (used by the float interpreter,
+    calibration and weight quantization so fused/packed and plain specs
+    share one QuantParams by construction — packing permutes elements,
+    never values, so per-tensor absmax calibration is identical)."""
     out: Spec = []
     for op in spec:
         if isinstance(op, BottleneckOp):
@@ -196,23 +232,29 @@ def _expand_spec(spec: Spec) -> Spec:
                 ConvOp(c2, kernel=3),
                 ConvOp(c3, kernel=1, relu=True, add_register="sc"),
             ]
+        elif isinstance(op, (PackImagesOp, UnpackImagesOp)):
+            continue
+        elif isinstance(op, ConvOp) and op.img_pack:
+            out.append(dataclasses.replace(op, img_pack=False))
         else:
             out.append(op)
     return out
 
 
 def build_resnet_ssd_spec(
-    cfg: DetectorConfig, fused_bottleneck: Optional[bool] = None
+    cfg: DetectorConfig, fused_bottleneck: Optional[bool] = None,
+    img_pack: Optional[bool] = None,
 ) -> Spec:
     """Op list mirroring models/ssd.py + models/resnet.py (BN pre-folded
     into conv kernels/biases by fold_resnet50)."""
     return build_resnet_trunk_spec(
-        fused_bottleneck=fused_bottleneck
+        fused_bottleneck=fused_bottleneck, img_pack=img_pack
     ) + _extras_spec(cfg, 3)
 
 
 def build_resnet_trunk_spec(
-    stem_algo: str = "direct", fused_bottleneck: Optional[bool] = None
+    stem_algo: str = "direct", fused_bottleneck: Optional[bool] = None,
+    img_pack: Optional[bool] = None,
 ) -> Spec:
     """ResNet-50 C3/C4/C5 trunk (used by both SSD-512 and RetinaNet int8).
 
@@ -227,32 +269,59 @@ def build_resnet_trunk_spec(
     fused_bottleneck: stride-1 non-projection blocks (block 2+ of every
     stage) run as single Pallas kernels (BottleneckOp). None = auto
     (ODT_FUSED_BOTTLENECK env, default off pending the on-chip A/B —
-    benchmarks/bottleneck_ab.py)."""
+    benchmarks/bottleneck_ab.py).
+
+    img_pack: stem + stage-1 (the sub-128-channel section) run image-pair
+    channel-packed (PackImagesOp / ConvOp.img_pack — bit-exact, falls
+    back automatically for odd batches). None = auto (ODT_IMG_PACK env,
+    default off pending the on-chip A/B — benchmarks/resnet_pack_ab.py)."""
     if fused_bottleneck is None:
         fused_bottleneck = os.environ.get("ODT_FUSED_BOTTLENECK", "0") == "1"
+    if img_pack is None:
+        img_pack = os.environ.get("ODT_IMG_PACK", "0") == "1"
     spec: Spec = [
+        PackImagesOp(),
+        ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3,
+               algo=stem_algo, img_pack=True),
+        PoolOp(3, 2, explicit_pad=1),
+    ] if img_pack else [
         ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3,
                algo=stem_algo),
         PoolOp(3, 2, explicit_pad=1),
     ]
     stage_sizes = (3, 4, 6, 3)
     for stage, n_blocks in enumerate(stage_sizes, start=1):
+        # stage 1 is the 64-channel section: packed when img_pack (which
+        # then takes precedence over the fused-bottleneck knob there).
+        packed_stage = img_pack and stage == 1
+        if stage == 2 and img_pack:
+            spec.append(UnpackImagesOp())
         for block in range(1, n_blocks + 1):
             base = f"backbone/stage{stage}_block{block}"
             stride = 2 if (block == 1 and stage > 1) else 1
             if block == 1:
                 spec += [
                     SaveOp("in"),
-                    ConvOp(f"{base}/proj", kernel=1, stride=stride, relu=False),
+                    ConvOp(f"{base}/proj", kernel=1, stride=stride,
+                           relu=False, img_pack=packed_stage),
                     SaveOp("sc"),
                     LoadOp("in"),
-                    ConvOp(f"{base}/conv1", kernel=1),
-                    ConvOp(f"{base}/conv2", kernel=3, stride=stride),
+                    ConvOp(f"{base}/conv1", kernel=1, img_pack=packed_stage),
+                    ConvOp(f"{base}/conv2", kernel=3, stride=stride,
+                           img_pack=packed_stage),
                     ConvOp(f"{base}/conv3", kernel=1, relu=True,
-                           add_register="sc"),
+                           add_register="sc", img_pack=packed_stage),
                 ]
-            elif fused_bottleneck:
+            elif fused_bottleneck and not packed_stage:
                 spec.append(BottleneckOp(base))
+            elif packed_stage:
+                spec += [
+                    SaveOp("sc"),
+                    ConvOp(f"{base}/conv1", kernel=1, img_pack=True),
+                    ConvOp(f"{base}/conv2", kernel=3, img_pack=True),
+                    ConvOp(f"{base}/conv3", kernel=1, relu=True,
+                           add_register="sc", img_pack=True),
+                ]
             else:
                 spec += [
                     SaveOp("sc"),
@@ -789,15 +858,37 @@ def run_int8(
             )
         )
 
+    # Image-pair packing needs an even batch; resolved statically at trace
+    # time (shapes are static under jit) so odd/single-image calls fall
+    # back to the identical unpacked math.
+    pack_ok = batch % 2 == 0
+
     for op in spec:
+        if isinstance(op, PackImagesOp):
+            if pack_ok:
+                half = x.shape[0] // 2
+                x = jnp.concatenate([x[:half], x[half:]], axis=-1)
+            continue
+        if isinstance(op, UnpackImagesOp):
+            if pack_ok:
+                ch = x.shape[-1] // 2
+                x = jnp.concatenate([x[..., :ch], x[..., ch:]], axis=0)
+            continue
         if isinstance(op, ConvOp):
-            acc = _conv(x, jnp.asarray(qp.w_int8[op.path]), op, jnp.int32)
+            w_q = jnp.asarray(qp.w_int8[op.path])
+            w_sc = jnp.asarray(qp.w_scale[op.path])
+            w_bias = jnp.asarray(qp.bias[op.path])
+            if op.img_pack and pack_ok:
+                w_q = _block_diag2(w_q)
+                w_sc = jnp.concatenate([w_sc, w_sc])
+                w_bias = jnp.concatenate([w_bias, w_bias])
+            acc = _conv(x, w_q, op, jnp.int32)
             # Fused epilogue: dequant (per-channel) + bias (+ residual add)
             # + relu + requant. Folding 1/out_scale into the per-channel
             # multiplier keeps it one multiply; f32 epilogue (bf16 loses
             # requant precision near the clip boundary).
-            deq = cur_scale * jnp.asarray(qp.w_scale[op.path])  # (out_ch,)
-            y = acc.astype(jnp.float32) * deq + jnp.asarray(qp.bias[op.path])
+            deq = cur_scale * w_sc  # (out_ch,)
+            y = acc.astype(jnp.float32) * deq + w_bias
             if op.add_register is not None:
                 rq, rs = regs[op.add_register]
                 y = y + rq.astype(jnp.float32) * rs

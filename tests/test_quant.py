@@ -686,3 +686,39 @@ def test_per_level_heads_match_concat_retinanet():
             type(det_lvl)(det_lvl.boxes[i], det_lvl.scores[i],
                           det_lvl.classes[i], det_lvl.valid[i])
         )
+
+
+def test_img_pack_trunk_spec_matches_unpacked(resnet_setup):
+    """Full int8 ResNet trunk with image-pair packing (PackImagesOp +
+    block-diag ConvOps over stem/stage-1) == the unpacked spec, bit-exact
+    from ONE shared QuantParams: the off-diagonal kernel zeros contribute
+    nothing to the int32 accumulators and the per-channel dequant/bias
+    vectors are tiled x2."""
+    cfg, _, variables, x = resnet_setup
+    qp, spec = engine.quantize_ssd(
+        cfg, variables["params"], [x], batch_stats=variables["batch_stats"]
+    )
+    spec_packed = engine.build_resnet_trunk_spec(
+        img_pack=True
+    ) + engine._extras_spec(cfg, 3)
+    q_cls_a, q_box_a = engine.int8_forward(qp, spec, cfg, x)
+    q_cls_b, q_box_b = engine.int8_forward(qp, spec_packed, cfg, x)
+    np.testing.assert_array_equal(np.asarray(q_cls_a), np.asarray(q_cls_b))
+    np.testing.assert_array_equal(np.asarray(q_box_a), np.asarray(q_box_b))
+
+
+def test_img_pack_odd_batch_falls_back(resnet_setup):
+    """A packed spec with an odd batch must run the identical unpacked
+    math (pack_ok resolves statically from the batch shape)."""
+    cfg, _, variables, x = resnet_setup
+    qp, spec = engine.quantize_ssd(
+        cfg, variables["params"], [x], batch_stats=variables["batch_stats"]
+    )
+    spec_packed = engine.build_resnet_trunk_spec(
+        img_pack=True
+    ) + engine._extras_spec(cfg, 3)
+    x1 = x[:1]
+    q_cls_a, q_box_a = engine.int8_forward(qp, spec, cfg, x1)
+    q_cls_b, q_box_b = engine.int8_forward(qp, spec_packed, cfg, x1)
+    np.testing.assert_array_equal(np.asarray(q_cls_a), np.asarray(q_cls_b))
+    np.testing.assert_array_equal(np.asarray(q_box_a), np.asarray(q_box_b))
