@@ -212,7 +212,14 @@ def build_spec(cfg: DetectorConfig, fused_stem: Optional[bool] = None) -> Spec:
             )
         return build_ssd_spec(cfg, fused_stem=fused_stem)
     if cfg.model.backbone == "resnet50":
-        return build_resnet_ssd_spec(cfg)
+        # Image-pair packing of the stem + stage-1: ON by default on TPU
+        # (+5.3% SSD-512 end-to-end, bit-exact —
+        # benchmarks/chip_logs/resnet_pack_ab.log). RetinaNet resolves its
+        # own trunk spec and keeps it OFF (measured 0.98x there: at bs=32
+        # 640px the pack/unpack concats outweigh the MXU-fill win).
+        env = os.environ.get("ODT_IMG_PACK")
+        img_pack = (jax.default_backend() == "tpu") if env is None else env == "1"
+        return build_resnet_ssd_spec(cfg, img_pack=img_pack)
     raise NotImplementedError(f"int8 engine: unknown backbone {cfg.model.backbone}")
 
 
@@ -274,7 +281,10 @@ def build_resnet_trunk_spec(
     img_pack: stem + stage-1 (the sub-128-channel section) run image-pair
     channel-packed (PackImagesOp / ConvOp.img_pack — bit-exact, falls
     back automatically for odd batches). None = auto (ODT_IMG_PACK env,
-    default off pending the on-chip A/B — benchmarks/resnet_pack_ab.py)."""
+    default off here). Measured (chip_logs/resnet_pack_ab.log, v5e-1):
+    SSD-512 bs=64 +5.3% — build_spec turns it ON for the SSD path on
+    TPU; RetinaNet bs=32 0.98x — quantize_retinanet leaves it off (the
+    pack/unpack concats at 640px outweigh the MXU-fill win there)."""
     if fused_bottleneck is None:
         fused_bottleneck = os.environ.get("ODT_FUSED_BOTTLENECK", "0") == "1"
     if img_pack is None:

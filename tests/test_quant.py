@@ -722,3 +722,18 @@ def test_img_pack_odd_batch_falls_back(resnet_setup):
     q_cls_b, q_box_b = engine.int8_forward(qp, spec_packed, cfg, x1)
     np.testing.assert_array_equal(np.asarray(q_cls_a), np.asarray(q_cls_b))
     np.testing.assert_array_equal(np.asarray(q_box_a), np.asarray(q_box_b))
+
+
+def test_build_spec_resnet_img_pack_env_resolution(resnet_setup, monkeypatch):
+    """build_spec resolves the SSD ResNet img_pack default from the
+    ODT_IMG_PACK env (backend auto otherwise; CPU test backend => off)."""
+    cfg, _, _, _ = resnet_setup
+    spec_auto = engine.build_spec(cfg)
+    assert not any(isinstance(op, engine.PackImagesOp) for op in spec_auto)
+    monkeypatch.setenv("ODT_IMG_PACK", "1")
+    spec_on = engine.build_spec(cfg)
+    assert any(isinstance(op, engine.PackImagesOp) for op in spec_on)
+    assert any(isinstance(op, engine.UnpackImagesOp) for op in spec_on)
+    monkeypatch.setenv("ODT_IMG_PACK", "0")
+    spec_off = engine.build_spec(cfg)
+    assert not any(isinstance(op, engine.PackImagesOp) for op in spec_off)
