@@ -81,18 +81,47 @@ def bench_preset(preset: str, rounds: int) -> None:
 
     ba, sa, ca, va = (np.asarray(t) for t in infer_a(qp, images[:8]))
     bb, sb, cb, vb = (np.asarray(t) for t in infer_b(qp, images[:8]))
-    match = 0
-    for i in range(8):
-        set_a = {(int(c), round(float(x), 4), tuple(np.round(b, 4)))
-                 for c, x, b in zip(ca[i][va[i]], sa[i][va[i]], ba[i][va[i]])}
-        set_b = {(int(c), round(float(x), 4), tuple(np.round(b, 4)))
-                 for c, x, b in zip(cb[i][vb[i]], sb[i][vb[i]], bb[i][vb[i]])}
-        match += len(set_a & set_b)
-        denom = max(len(set_a | set_b), 1)
-        assert len(set_a & set_b) / denom > 0.99, (
-            f"parity broke: {len(set_a & set_b)}/{denom}"
+    if cfg.eval.nms_exact_prefilter:
+        # Exact prefilter on both arms: detection sets must match.
+        match = 0
+        for i in range(8):
+            set_a = {(int(c), round(float(x), 4), tuple(np.round(b, 4)))
+                     for c, x, b in zip(ca[i][va[i]], sa[i][va[i]], ba[i][va[i]])}
+            set_b = {(int(c), round(float(x), 4), tuple(np.round(b, 4)))
+                     for c, x, b in zip(cb[i][vb[i]], sb[i][vb[i]], bb[i][vb[i]])}
+            match += len(set_a & set_b)
+            denom = max(len(set_a | set_b), 1)
+            assert len(set_a & set_b) / denom > 0.99, (
+                f"parity broke: {len(set_a & set_b)}/{denom}"
+            )
+        print(f"[{preset}] parity: detection sets match", flush=True)
+    else:
+        # Approx prefilter (approx_max_k) partitions differently per arm —
+        # set equality between arms is NOT the contract. Instead compare
+        # each arm's top-20 scores against the exact-prefilter concat
+        # reference (the same check prefilter_ab.py used).
+        exact_cfg = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, nms_exact_prefilter=True)
         )
-    print(f"[{preset}] parity: detection sets match", flush=True)
+
+        @jax.jit
+        def infer_ref(q, x_u8):
+            imgs = aug_ops.normalize(x_u8.astype(jnp.float32) / 255.0)
+            cls, box = forward(q, spec, cfg, imgs)
+            det = postprocess(cls, box, anchors, exact_cfg, use_pallas=on_tpu)
+            return det.scores
+
+        s_ref = np.asarray(infer_ref(qp, images[:8]))[:, :20]
+        dev_a = float(np.max(np.abs(np.sort(sa[:, :20]) - np.sort(s_ref))))
+        dev_b = float(np.max(np.abs(np.sort(sb[:, :20]) - np.sort(s_ref))))
+        print(
+            f"[{preset}] top-20 score deviation vs exact: "
+            f"concat={dev_a:.2e} per_level={dev_b:.2e}", flush=True,
+        )
+        # approx_max_k may drop a borderline candidate (recall contract
+        # 0.95/row); a few e-3 of score on a mid-ranked detection is way
+        # below mAP resolution. Gate on gross breakage only.
+        assert dev_a < 2e-2 and dev_b < 2e-2, "approx recall broke top-20"
 
     iters = 20
     med_a, med_b = [], []

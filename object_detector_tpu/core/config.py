@@ -103,6 +103,18 @@ class ModelConfig:
     # falls back to the plain path); params stay canonical
     # (checkpoint-compatible either way). ON by default.
     pack_block1: bool = True
+    # VGG 2x2 max-pool backward as the Pallas first-max kernel
+    # (ops/pooling.max_pool_2x2_fastgrad) instead of XLA's
+    # select_and_scatter. Gradients are BITWISE identical (first max in
+    # window scan order takes the cotangent — test-pinned); forward is
+    # the same reduce_window either way, so serving/checkpoints are
+    # unaffected. MEASURED LOSS isolated on v5e-1
+    # (chip_logs/pool_bwd_ab.log): 0.44x at 300x300x64 down to 0.12x at
+    # 76x76x256 — the 4-plane equality-compare + where/concat rebuild
+    # reads x, y AND g where select_and_scatter streams once. Stays OFF;
+    # kept as the documented kernel-level negative result closing the
+    # ops/pooling STATUS question.
+    pool_grad_kernel: bool = False
 
     @property
     def num_levels(self) -> int:
@@ -214,7 +226,12 @@ class EvalConfig:
     # the suppression time on 80-class configs. 0 = off (rows keep all M
     # shared candidates — strictly MORE generous than the jnp contract).
     # Selection is exact per-row lax.top_k (approx_max_k when
-    # nms_exact_prefilter=False).
+    # nms_exact_prefilter=False). MEASURED LOSS both ways at SSD-512
+    # bs=64 (chip_logs/nms_narrow_ab.log): exact top_k over (5120, 512)
+    # rows 0.72x/0.89x (k=256/128), and still 0.70x/0.87x with
+    # approx_max_k after the COCO prefilter flip — per-row selection over
+    # thousands of rows costs more than the narrower kernel saves. Stays
+    # 0; the knob remains for low-row-count deployments.
     nms_class_top_k: int = 0
     # Emit int8-head class logits as bf16 instead of f32 (the (B, A, C)
     # logits tensor is the largest postprocess operand — 503 MB for the
@@ -222,9 +239,12 @@ class EvalConfig:
     # it: the head-conv epilogue write, the class-max prefilter read and
     # the candidate gather). Well inside the int8 path's approximation
     # budget (bf16 rounding ~0.4% of a logit << int8 quantization error;
-    # box offsets stay f32), but OFF by default pending the measured
-    # on-chip A/B (benchmarks/logits_ab.py) — exactness-first ledger
-    # discipline, see ARCHITECTURE.md dead-ends list.
+    # box offsets stay f32), but OFF by default: measured per-preset
+    # (benchmarks/logits_ab.py) — WON on both 80-class COCO presets
+    # (+8.3% SSD-512, +11.7% RetinaNet; flipped there) and LOST on the
+    # 21-class SSD-300 (0.94x, chip_logs/logits_ab.log: the 47 MB f32
+    # tensor is too small for the halved traffic to beat the added
+    # convert pass), so the VOC presets stay f32.
     int8_logits_bf16: bool = False
     # Single-key packed-int sort for the prefilter/merge top-k (index in
     # the low key bits) instead of XLA's variadic (value, iota) sort.

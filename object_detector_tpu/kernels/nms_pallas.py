@@ -655,9 +655,13 @@ def pallas_decode_nms_levels(
 
     STATUS (r3, v5e-1): MEASURED LOSS vs the concat path — 0.90x
     SSD-300, 0.93x SSD-512, 1.01x RetinaNet (chip_logs/per_level_ab.log,
-    parity clean). The stage-1 per-level lax.top_k sorts dominate the
-    saved concat traffic. Off by default (EvalConfig.per_level_heads);
-    kept as the exact-parity scaffold for a future sort-free stage 1."""
+    parity clean) with exact stage-1 sorts, and STILL a loss with
+    approx_max_k stage 1 after the COCO prefilter flip (0.91x SSD-512,
+    0.95x RetinaNet — same log; top-20 matched the exact oracle, and the
+    per-level arm was exactly oracle-equal). The many small per-level
+    selections + local gathers + slot-select reduces dominate the saved
+    concat traffic in both regimes. Off by default
+    (EvalConfig.per_level_heads); kept as the exact-parity scaffold."""
     batch = level_logits[0].shape[0]
     counts = [
         t.shape[1] * t.shape[2] * a

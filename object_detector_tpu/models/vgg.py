@@ -90,6 +90,7 @@ class VGG16Backbone(nn.Module):
 
     compute_dtype: Any = jnp.bfloat16
     pack_block1: bool = False
+    pool_grad_kernel: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> List[Array]:
@@ -97,10 +98,18 @@ class VGG16Backbone(nn.Module):
             c, (3, 3), padding="SAME", dtype=self.compute_dtype, name=name, **kw
         )
         # reduce_window + select_and_scatter backward (3.6 ms/step) is the
-        # MEASURED best here: both structured alternatives in ops/pooling
-        # lost (6D mask: 9.1 ms, lane-half pairwise max: +26 ms) — see
-        # ops/pooling.py STATUS.
-        pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))  # noqa: E731
+        # MEASURED best at every level tried: XLA rewrites lost (6D mask:
+        # 9.1 ms, lane-half pairwise max: +26 ms) and the Pallas
+        # first-max kernel lost 0.12-0.44x isolated
+        # (chip_logs/pool_bwd_ab.log) — see ops/pooling.py STATUS.
+        # pool_grad_kernel keeps the kernel selectable (bitwise-identical
+        # gradients, same reduce_window forward).
+        if self.pool_grad_kernel:
+            from object_detector_tpu.ops.pooling import max_pool_2x2_fastgrad
+
+            pool = max_pool_2x2_fastgrad
+        else:
+            pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))  # noqa: E731
 
         x = x.astype(self.compute_dtype)
         # Block 1: image-pair packed (full 128-lane tiles) when enabled

@@ -99,13 +99,13 @@ def postprocess_levels(
     path only — pair with EvalConfig.per_level_heads.
 
     STATUS (r3, v5e-1, chip_logs/per_level_ab.log): MEASURED LOSS —
-    0.90x SSD-300, 0.93x SSD-512, 1.01x RetinaNet vs the concat path.
-    The per-level stage-1 top-k sorts (top-M of 16384/6144/... rows per
-    level) cost more than the (B, A, C) assembly they avoid; lax.top_k
-    over many mid-size rows is the dominant term, consistent with the
-    nms_narrow A/B (top_k over (5120, 512) 0.72x). Kept off-default as
-    the documented negative result; per-level consumption would need a
-    sort-free stage 1 (threshold-scatter or fused Pallas reduce) to win."""
+    0.90x SSD-300, 0.93x SSD-512, 1.01x RetinaNet vs the concat path
+    with exact stage-1 sorts, and still 0.91x/0.95x with approx_max_k
+    stage 1 after the COCO prefilter flip (oracle-parity clean both
+    times). The per-level selection machinery (per-level top-k + local
+    gathers + anchor-slot masked reduces) costs more than the (B, A, C)
+    assembly it avoids in both regimes. Kept off-default as the
+    documented negative result."""
     from object_detector_tpu.kernels.nms_pallas import pallas_decode_nms_levels
 
     return pallas_decode_nms_levels(

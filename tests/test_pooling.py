@@ -64,3 +64,62 @@ def test_bf16_and_odd_shape_error():
     )
     with pytest.raises(ValueError):
         max_pool_2x2(jnp.zeros((1, 5, 4, 3)))
+
+
+class TestFastgradPool:
+    """max_pool_2x2_fastgrad: XLA forward + Pallas first-max backward.
+
+    The gradient contract is BITWISE select_and_scatter (first window
+    position in scan order takes the whole cotangent), so every test
+    compares against jax.grad(nn.max_pool) with array_equal."""
+
+    def _fg(self):
+        from object_detector_tpu.ops.pooling import max_pool_2x2_fastgrad
+        return max_pool_2x2_fastgrad
+
+    def test_forward_bitwise(self):
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(2, 8, 12, 5)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(self._fg()(x)), np.asarray(_ref_pool(x))
+        )
+
+    @pytest.mark.parametrize("tie_heavy", [False, True])
+    def test_grad_bitwise_vs_select_and_scatter(self, tie_heavy):
+        rng = np.random.default_rng(13 if tie_heavy else 17)
+        x = rng.normal(size=(2, 8, 12, 5)).astype(np.float32)
+        if tie_heavy:
+            x = np.maximum(x, 0.0) * (rng.random(x.shape) > 0.6)
+        x = jnp.asarray(x)
+        cot = jnp.asarray(rng.normal(size=(2, 4, 6, 5)).astype(np.float32))
+        g_new = jax.grad(lambda v: jnp.sum(self._fg()(v) * cot))(x)
+        g_ref = jax.grad(lambda v: jnp.sum(_ref_pool(v) * cot))(x)
+        np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_ref))
+
+    def test_grad_bf16_bitwise(self):
+        rng = np.random.default_rng(19)
+        x = jnp.asarray(rng.normal(size=(2, 6, 8, 3)), dtype=jnp.bfloat16)
+        cot = jnp.asarray(rng.normal(size=(2, 3, 4, 3)).astype(np.float32))
+        g_new = jax.grad(
+            lambda v: jnp.sum(self._fg()(v).astype(jnp.float32) * cot))(x)
+        g_ref = jax.grad(
+            lambda v: jnp.sum(_ref_pool(v).astype(jnp.float32) * cot))(x)
+        np.testing.assert_array_equal(
+            np.asarray(g_new, dtype=np.float32),
+            np.asarray(g_ref, dtype=np.float32),
+        )
+
+    def test_grid_blocking_odd_divisors(self):
+        # H2=19 (prime, single block) and H2=15 (divisor-12 fallback path).
+        for h in (38, 30):
+            rng = np.random.default_rng(h)
+            x = jnp.asarray(rng.normal(size=(1, h, 8, 4)).astype(np.float32))
+            cot = jnp.asarray(
+                rng.normal(size=(1, h // 2, 4, 4)).astype(np.float32))
+            g_new = jax.grad(lambda v: jnp.sum(self._fg()(v) * cot))(x)
+            g_ref = jax.grad(lambda v: jnp.sum(_ref_pool(v) * cot))(x)
+            np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_ref))
+
+    def test_odd_shape_error(self):
+        with pytest.raises(ValueError):
+            self._fg()(jnp.zeros((1, 5, 4, 3)))
