@@ -26,6 +26,12 @@ import numpy as np
 
 
 def main():
+    if "--json" in sys.argv:
+        # Liveness marker (see bench.py): client is up, not wedged.
+        import json
+
+        print(json.dumps({"latency_stage_backend": jax.default_backend()}),
+              flush=True)
     if "--json" in sys.argv and jax.default_backend() != "tpu":
         # bench.py probes latency unconditionally (before it knows its own
         # backend); don't burn minutes on a CPU forward loop.

@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--pack-block1", action="store_true",
                     help="image-pair packed VGG block-1 (A/B arm)")
     args = ap.parse_args()
+    if args.json:
+        # Liveness marker (see bench.py): client is up, not wedged.
+        print(json.dumps({"train_stage_backend": jax.default_backend()}),
+              flush=True)
     cfg = get_config("ssd300_vgg16_voc")
     bs = args.bs
     cfg = cfg.override({"train.batch_size": bs})
