@@ -265,6 +265,17 @@ class EvalConfig:
     # on this target, so the per-emit compare upcasts to f32 and the
     # converts eat the plane-op saving). Stays OFF: exactness for free.
     nms_coord_bf16: bool = False
+    # Emit int8-head class-logit slabs with the class dim padded up to the
+    # 128-lane tile (pad value = dtype min, the sigmoid/max identity).
+    # (B, A, C<128) is ALREADY stored 128-lane-padded physically on TPU,
+    # so the pad costs zero extra HBM bytes; what changes is the retile:
+    # the unaligned (H, W, a*C) -> (A_l, C) lane permute becomes
+    # lane-aligned block movement that XLA can fuse into each level's
+    # concat DUS (the retile+concat chain cost ~2.8 ms at SSD-512/COCO
+    # bs=64 — r3 HLO profile). Consumers treat lanes >= num_classes as
+    # padding (ops/postprocess.py slices gathered candidates).
+    # STATUS: pending on-chip A/B (benchmarks/headpad_ab.py).
+    cls_pad_lanes: bool = False
     # Per-level head consumption (int8 + Pallas path): postprocess reads
     # each head's native (B, H, W, a*C) output and prefilters per level
     # (two-stage exact top-k), so the concatenated (B, A, C) logits tensor
@@ -399,7 +410,9 @@ def _ssd512_resnet50_coco() -> DetectorConfig:
         # where both lower to the same sort) — measured +2.1% end-to-end
         # with zero top-20 score deviation on the check corpus
         # (benchmarks/chip_logs/prefilter_ab.log; recall contract
-        # documented at EvalConfig.nms_exact_prefilter).
+        # documented at EvalConfig.nms_exact_prefilter). Full-eval mAP
+        # parity (exact vs approx, synthetic corpus):
+        # benchmarks/prefilter_map_ab.py.
         eval=EvalConfig(map_style="coco", int8_logits_bf16=True,
                         nms_exact_prefilter=False),
     )
@@ -427,7 +440,8 @@ def _retinanet_fpn_coco() -> DetectorConfig:
         # 1205 img/s, chip_logs/prefilter_ab.log, zero top-20 score
         # deviation) — RetinaNet's A=49104 makes the exact top-k sort
         # the single most expensive postprocess op, and approx_max_k's
-        # PartialReduce replaces it.
+        # PartialReduce replaces it. Full-eval mAP parity (exact vs
+        # approx, synthetic corpus): benchmarks/prefilter_map_ab.py.
         eval=EvalConfig(map_style="coco", int8_logits_bf16=True,
                         nms_exact_prefilter=False),
         mesh=MeshConfig(data_parallel=16),
@@ -464,6 +478,27 @@ def tiny_test_config(num_classes: int = 3) -> DetectorConfig:
         data=DataConfig(dataset="synthetic", max_boxes=8),
         train=TrainConfig(batch_size=8, num_steps=50, warmup_steps=0,
                           base_lr=1e-2, checkpoint_every=10**9, log_every=10),
+        eval=EvalConfig(batch_size=8, pre_nms_top_k=64, max_detections=16,
+                        use_pallas_nms=False),
+    )
+
+
+def tiny_retinanet_config(num_classes: int = 3) -> DetectorConfig:
+    """Small RetinaNet/FPN config (128px — smallest size where P7 is 1x1)
+    for CPU tests and the driver's multichip dry run."""
+    size = 128
+    return DetectorConfig(
+        name="tiny_retinanet",
+        model=ModelConfig(
+            family="retinanet", backbone="resnet50", image_size=size,
+            num_classes=num_classes, fpn_channels=32, head_depth=1,
+            compute_dtype="float32",
+        ),
+        anchors=retinanet_anchor_config(size),
+        data=DataConfig(dataset="synthetic", max_boxes=4),
+        train=TrainConfig(batch_size=8, num_steps=10, warmup_steps=0,
+                          base_lr=1e-2, optimizer="sgd",
+                          checkpoint_every=10**9, log_every=10),
         eval=EvalConfig(batch_size=8, pre_nms_top_k=64, max_detections=16,
                         use_pallas_nms=False),
     )

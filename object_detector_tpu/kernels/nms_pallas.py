@@ -44,6 +44,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _check_score_threshold(score_threshold: float) -> None:
+    """The kernels require score_threshold >= 0: suppression rewrites a
+    loser's score to 0.0 and the dead-row early-exit treats max==0 rows as
+    inactive, which is only equivalent to `valid & ~suppressed` masking
+    when 0.0 can never re-clear the threshold (ADVICE r3). Enforced at
+    trace time (the threshold is a static argument) in every public entry
+    point rather than assumed."""
+    if score_threshold < 0:
+        raise ValueError(
+            f"score_threshold must be >= 0 (got {score_threshold}): the NMS "
+            "kernel uses 0.0 as the suppressed/padded-score sentinel"
+        )
+
+
 def _nms_kernel(
     x1_ref, y1_ref, x2_ref, y2_ref, scores_ref,  # (R, k) each
     out_scores_ref,  # (R, max_out) winner scores, in emit order (desc)
@@ -395,6 +409,7 @@ def pallas_per_class_nms_batched(
     realistic A >> M: tests/test_nms_pallas.py (candidate-starvation
     bound) and benchmarks/tpu_nms_check.py (compiled vs oracle).
     """
+    _check_score_threshold(score_threshold)
     batch, num_anchors, num_classes = scores.shape
     m_eff = min(2 * pre_nms_top_k, num_anchors)
     m = _round_up(m_eff, _LANE)
@@ -469,11 +484,11 @@ def pallas_per_class_nms(
         "score_threshold", "iou_threshold", "pre_nms_top_k", "max_detections",
         "max_per_class", "center_variance", "size_variance", "interpret",
         "exact_prefilter", "recall_target", "packed_sort", "class_top_k",
-        "coord_bf16",
+        "coord_bf16", "num_classes",
     ),
 )
 def pallas_decode_nms(
-    cls_logits: Array,  # (B, A, C) raw sigmoid logits
+    cls_logits: Array,  # (B, A, C) raw sigmoid logits (C may be lane-padded)
     box_offsets: Array,  # (B, A, 4) SSD-encoded offsets
     anchors_center: Array,  # (A, 4)
     *,
@@ -490,6 +505,7 @@ def pallas_decode_nms(
     packed_sort: bool = False,
     class_top_k: int = 0,
     coord_bf16: bool = False,
+    num_classes: int | None = None,
 ) -> Detections:
     """Fused candidate-sparse postprocess: the anchor pre-filter runs on
     LOGITS (sigmoid is monotone, so top-M by max-class logit == top-M by
@@ -504,6 +520,7 @@ def pallas_decode_nms(
     a per-class exact scan would keep."""
     from object_detector_tpu.ops import boxes as box_ops
 
+    _check_score_threshold(score_threshold)
     batch, num_anchors, num_classes = cls_logits.shape
     m_eff = min(2 * pre_nms_top_k, num_anchors)
     m = _round_up(m_eff, _LANE)
@@ -517,6 +534,8 @@ def pallas_decode_nms(
             anchors_center[None], (batch, num_anchors, 4)
         )
     else:
+        # Class-max over lane-padded logits is exact: the pad value is the
+        # dtype's most-negative finite (engine._retile_cls), a max identity.
         agnostic = jnp.max(cls_logits, axis=-1)  # (B, A), native dtype
         if packed_sort:
             from object_detector_tpu.ops.packsort import top_k_packed_idx
@@ -531,6 +550,11 @@ def pallas_decode_nms(
         cand_logits = jnp.take_along_axis(cls_logits, aidx[..., None], axis=1)
         cand_offsets = jnp.take_along_axis(box_offsets, aidx[..., None], axis=1)
         cand_anchors = jnp.take(anchors_center, aidx, axis=0)  # (B, M, 4)
+
+    if num_classes is not None and num_classes < cand_logits.shape[-1]:
+        # Strip the lane padding on the gathered candidates only — the
+        # (B, M, C_pad) slice is ~100x smaller than the (B, A, C_pad) input.
+        cand_logits = cand_logits[:, :, :num_classes]
 
     return _candidates_decode_nms(
         cand_logits, cand_offsets, cand_anchors, m, m_eff,
@@ -662,6 +686,7 @@ def pallas_decode_nms_levels(
     selections + local gathers + slot-select reduces dominate the saved
     concat traffic in both regimes. Off by default
     (EvalConfig.per_level_heads); kept as the exact-parity scaffold."""
+    _check_score_threshold(score_threshold)
     batch = level_logits[0].shape[0]
     counts = [
         t.shape[1] * t.shape[2] * a

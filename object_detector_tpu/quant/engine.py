@@ -182,6 +182,25 @@ class TapOp:
 Spec = List[Any]
 
 
+def _env_tristate(name: str, auto: bool) -> bool:
+    """Parse an on/off/auto env knob with one shared grammar (ADVICE r3:
+    the two ODT_IMG_PACK call sites parsed `== "1"` against different
+    unset defaults, so "true" silently meant OFF and "auto" was
+    inexpressible once set). unset or "auto" -> the caller's
+    backend-dependent default; "1" -> on; "0" -> off; anything else is
+    an error, never a silent off."""
+    val = os.environ.get(name)
+    if val is None or val == "auto":
+        return auto
+    if val == "1":
+        return True
+    if val == "0":
+        return False
+    raise ValueError(
+        f"{name}={val!r}: expected unset, 'auto', '0', or '1'"
+    )
+
+
 def _extras_spec(cfg: DetectorConfig, n_taps_so_far: int) -> Spec:
     """Extra-layer ops mirroring models/ssd.py SSDExtraLayers selection."""
     spec: Spec = []
@@ -217,8 +236,9 @@ def build_spec(cfg: DetectorConfig, fused_stem: Optional[bool] = None) -> Spec:
         # benchmarks/chip_logs/resnet_pack_ab.log). RetinaNet resolves its
         # own trunk spec and keeps it OFF (measured 0.98x there: at bs=32
         # 640px the pack/unpack concats outweigh the MXU-fill win).
-        env = os.environ.get("ODT_IMG_PACK")
-        img_pack = (jax.default_backend() == "tpu") if env is None else env == "1"
+        img_pack = _env_tristate(
+            "ODT_IMG_PACK", auto=jax.default_backend() == "tpu"
+        )
         return build_resnet_ssd_spec(cfg, img_pack=img_pack)
     raise NotImplementedError(f"int8 engine: unknown backbone {cfg.model.backbone}")
 
@@ -286,9 +306,9 @@ def build_resnet_trunk_spec(
     TPU; RetinaNet bs=32 0.98x — quantize_retinanet leaves it off (the
     pack/unpack concats at 640px outweigh the MXU-fill win there)."""
     if fused_bottleneck is None:
-        fused_bottleneck = os.environ.get("ODT_FUSED_BOTTLENECK", "0") == "1"
+        fused_bottleneck = _env_tristate("ODT_FUSED_BOTTLENECK", auto=False)
     if img_pack is None:
-        img_pack = os.environ.get("ODT_IMG_PACK", "0") == "1"
+        img_pack = _env_tristate("ODT_IMG_PACK", auto=False)
     spec: Spec = [
         PackImagesOp(),
         ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3,
@@ -1115,6 +1135,29 @@ def run_int8(
     return taps
 
 
+def _retile_cls(y: Array, a: int, num_classes: int, pad_lanes: bool) -> Array:
+    """Head-native (B, H, W, a*C) class logits -> (B, H*W*a, C | C_pad).
+
+    pad_lanes=True pads the class dim up to the 128-lane tile with the
+    dtype's most-negative finite value (identity for sigmoid -> score 0
+    and for the class-max prefilter), so the retile is lane-aligned block
+    movement instead of an unaligned C-minor relayout and can fuse into
+    the level concat. (B, A, C<128) is already 128-lane padded physically
+    on TPU, so the logical pad adds zero HBM bytes. Consumers slice lanes
+    >= num_classes after the candidate gather (ops/postprocess.py)."""
+    b, h, w, _ = y.shape
+    if not pad_lanes or num_classes % 128 == 0:
+        return y.reshape(b, h * w * a, num_classes)
+    c_pad = ((num_classes + 127) // 128) * 128
+    neg = jnp.finfo(y.dtype).min
+    y = y.reshape(b, h * w, a, num_classes)
+    y = jnp.pad(
+        y, ((0, 0), (0, 0), (0, 0), (0, c_pad - num_classes)),
+        constant_values=neg,
+    )
+    return y.reshape(b, h * w * a, c_pad)
+
+
 def apply_heads_int8(
     qp: QuantParams,
     taps_q: List[Tuple[Array, float]],
@@ -1183,7 +1226,9 @@ def apply_heads_int8(
             cls_out.append(outs["cls"])
             box_out.append(outs["box"])
             continue
-        cls_out.append(outs["cls"].reshape(b, h * w * a, cfg.model.num_classes))
+        cls_out.append(_retile_cls(
+            outs["cls"], a, cfg.model.num_classes, cfg.eval.cls_pad_lanes
+        ))
         box_out.append(outs["box"].reshape(b, h * w * a, 4))
     if not concat:
         return tuple(cls_out), tuple(box_out)
@@ -1437,7 +1482,12 @@ def run_int8_fpn_heads(
                 outs[head].append(y)
                 continue
             b, h, w, _ = y.shape
-            outs[head].append(y.reshape(b, h * w * 9, n_out))
+            if head == "cls_head":
+                outs[head].append(_retile_cls(
+                    y, 9, n_out, cfg.eval.cls_pad_lanes
+                ))
+            else:
+                outs[head].append(y.reshape(b, h * w * 9, n_out))
     if not concat:
         return tuple(outs["cls_head"]), tuple(outs["box_head"])
     return (
