@@ -39,6 +39,24 @@ ROWS = [
 BEGIN, END = "<!-- BENCH:BEGIN -->", "<!-- BENCH:END -->"
 
 
+def _latest_driver_confirmed() -> tuple[str, dict] | None:
+    """Newest BENCH_r*.json whose parsed record carries a non-null headline
+    — the only independently-confirmed numbers this repo has (VERDICT r3
+    weak #2: published numbers must say which column they are)."""
+    import glob
+
+    best = None
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed")
+        except (ValueError, OSError):
+            continue
+        if isinstance(parsed, dict) and parsed.get("value") is not None:
+            best = (os.path.basename(path), parsed)
+    return best
+
+
 def render(results: dict) -> str:
     date = results.get("date", "?")
     backend = results.get("backend", "?")
@@ -49,7 +67,25 @@ def render(results: dict) -> str:
         f"`python benchmarks/headline.py --update-json && "
         f"python benchmarks/update_docs.py`).",
         "",
-        "| Metric | Value |",
+    ]
+    confirmed = _latest_driver_confirmed()
+    if confirmed is not None:
+        name, parsed = confirmed
+        extra = []
+        if parsed.get("p50_latency_ms_bs1") is not None:
+            extra.append(f"p50 {parsed['p50_latency_ms_bs1']:.2f} ms")
+        if parsed.get("train_images_per_sec_chip") is not None:
+            extra.append(f"train {parsed['train_images_per_sec_chip']:.0f} img/s")
+        extra_s = (", " + ", ".join(extra)) if extra else ""
+        lines += [
+            f"Driver-confirmed (`{name}`, independent run of `bench.py`): "
+            f"SSD-300 headline **{parsed['value']:.0f} img/s/chip**{extra_s}. "
+            f"All table rows below are builder-measured on the same chip "
+            f"class and regenerated from the JSON above.",
+            "",
+        ]
+    lines += [
+        "| Metric | Value (builder-measured) |",
         "|---|---|",
     ]
     for key, label in ROWS:
@@ -57,10 +93,17 @@ def render(results: dict) -> str:
         val = f"**{v:.0f} img/s/chip**" if v is not None else "not yet measured"
         lines.append(f"| {label} | {val} |")
     lat = results.get("p50_latency_ms_bs1")
+    path_name = results.get("p50_latency_path", "?")
+    lat_i8 = results.get("p50_latency_ms_bs1_int8")
+    lat_bf = results.get("p50_latency_ms_bs1_bf16")
     lat_s = f"**{lat:.2f} ms**" if lat is not None else "not yet measured"
+    both = (
+        f"; int8 {lat_i8:.2f} ms / bf16 {lat_bf:.2f} ms"
+        if lat_i8 is not None and lat_bf is not None else ""
+    )
     lines.append(
-        f"| p50 single-image latency (on-device, bs=1, default VMEM config) "
-        f"| {lat_s} |"
+        f"| p50 single-image latency (on-device, bs=1, default VMEM, "
+        f"fastest serving path = {path_name}{both}) | {lat_s} |"
     )
     lines.append("| target (BASELINE north star) | 5000 img/s/chip |")
     lines.append(END)

@@ -86,6 +86,7 @@ def test_resnet_batch_stats_update():
     assert changed, "BatchNorm running stats did not update in train mode"
 
 
+@pytest.mark.slow  # dead-end-path parity; tier re-budget (VERDICT r3 #7)
 def test_pack_block1_bitexact_and_grad():
     """Image-pair packed block-1 == plain path: identical param tree,
     forward equal within reassociation tolerance (same MAC set, XLA may

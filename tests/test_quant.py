@@ -221,6 +221,39 @@ def test_bf16_logits_close_and_postprocess_runs(setup):
     np.testing.assert_allclose(s, s_ref, atol=2e-3)
 
 
+def test_cls_pad_lanes_bitexact(setup):
+    """EvalConfig.cls_pad_lanes is an exact layout transform: the padded
+    slab carries the real logits in lanes [:C] and dtype-min in the pad
+    lanes, and BOTH postprocess paths (jnp + Pallas-interpret) return
+    bitwise-identical detections to the unpadded path."""
+    import dataclasses as dc
+
+    from object_detector_tpu.anchors.priors import ssd_anchors
+    from object_detector_tpu.ops.postprocess import postprocess
+
+    cfg, _, params, x = setup
+    qp, spec = engine.quantize_ssd(cfg, params, [x])
+    cls_a, box_a = engine.int8_forward(qp, spec, cfg, x)
+    cfg_pad = cfg.replace(eval=dc.replace(cfg.eval, cls_pad_lanes=True))
+    cls_b, box_b = engine.int8_forward(qp, spec, cfg_pad, x)
+    c = cls_a.shape[-1]
+    assert cls_b.shape[-1] == 128
+    np.testing.assert_array_equal(np.asarray(cls_b[..., :c]), np.asarray(cls_a))
+    assert bool(jnp.all(cls_b[..., c:] == jnp.finfo(cls_b.dtype).min))
+    np.testing.assert_array_equal(np.asarray(box_a), np.asarray(box_b))
+
+    anchors = jnp.asarray(ssd_anchors(cfg.anchors, cfg.model.image_size))
+    for pallas in (False, True):
+        det_a = postprocess(cls_a, box_a, anchors, cfg, use_pallas=pallas)
+        det_b = postprocess(cls_b, box_b, anchors, cfg_pad, use_pallas=pallas)
+        for name in ("boxes", "scores", "classes", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(det_a, name)),
+                np.asarray(getattr(det_b, name)),
+                err_msg=f"{name} mismatch (use_pallas={pallas})",
+            )
+
+
 @pytest.mark.parametrize("size", [64, 65, 70])
 def test_s2d_stem_conv_bitexact(size):
     """Space-to-depth 7x7/s2 stem conv == direct conv, bit-exact in int32
@@ -237,6 +270,7 @@ def test_s2d_stem_conv_bitexact(size):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # dead-end-path parity; tier re-budget (VERDICT r3 #7)
 def test_s2d_resnet_trunk_spec_parity(resnet_setup):
     """Full int8 ResNet trunk forward with the s2d stem == direct stem,
     bit-exact (the requant epilogues see identical int32 accumulators)."""
@@ -373,6 +407,7 @@ def test_pack_conv11_pair_square_equivalent():
     )
 
 
+@pytest.mark.slow  # dead-end-path parity; tier re-budget (VERDICT r3 #7)
 def test_fused_stem_input_hwcn_parity(setup):
     """int8_forward(input_hwcn=True) on the (S,S,3,B)-staged batch ==
     the NHWC result, bit-exact: the quantize is elementwise and the
@@ -388,6 +423,7 @@ def test_fused_stem_input_hwcn_parity(setup):
     np.testing.assert_array_equal(np.asarray(box_a), np.asarray(box_b))
 
 
+@pytest.mark.slow  # dead-end-path parity; tier re-budget (VERDICT r3 #7)
 @pytest.mark.parametrize("carry", ["0", "1"])
 def test_fused_stem_spec_full_trunk_parity(setup, monkeypatch, carry):
     """run_int8 over the fused-stem spec == the unfused spec, end to end
@@ -406,6 +442,7 @@ def test_fused_stem_spec_full_trunk_parity(setup, monkeypatch, carry):
     np.testing.assert_array_equal(np.asarray(box_a), np.asarray(box_b))
 
 
+@pytest.mark.slow  # dead-end-path parity; tier re-budget (VERDICT r3 #7)
 def test_fused_stem_parity_odd_pool2_width(monkeypatch):
     """End-to-end parity at image_size=60 with the zero-padded-width
     CARRY path forced on (off by default — measured 1.3% slower, see
@@ -505,6 +542,7 @@ def test_stem_fused_producer_matches_two_stage():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.slow  # dead-end-path parity; tier re-budget (VERDICT r3 #7)
 def test_fused_stem_spec_fp_env_parity(setup, monkeypatch):
     """run_int8 with ODT_STEM_FP=1 (fully-fused stem) == the default
     two-stage fused path, end to end through heads, bit-exact."""
@@ -617,6 +655,7 @@ def test_fused_bottleneck_spec_matches_unfused_spec():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # dead-end-path parity; tier re-budget (VERDICT r3 #7)
 def test_per_level_heads_match_concat_ssd(setup):
     """int8_forward(concat_heads=False) + postprocess_levels must produce
     the same detection set as the concat path + postprocess (per-level
@@ -688,6 +727,7 @@ def test_per_level_heads_match_concat_retinanet():
         )
 
 
+@pytest.mark.slow  # dead-end-path parity; tier re-budget (VERDICT r3 #7)
 def test_img_pack_trunk_spec_matches_unpacked(resnet_setup):
     """Full int8 ResNet trunk with image-pair packing (PackImagesOp +
     block-diag ConvOps over stem/stage-1) == the unpacked spec, bit-exact
@@ -707,6 +747,7 @@ def test_img_pack_trunk_spec_matches_unpacked(resnet_setup):
     np.testing.assert_array_equal(np.asarray(q_box_a), np.asarray(q_box_b))
 
 
+@pytest.mark.slow  # dead-end-path parity; tier re-budget (VERDICT r3 #7)
 def test_img_pack_odd_batch_falls_back(resnet_setup):
     """A packed spec with an odd batch must run the identical unpacked
     math (pack_ok resolves statically from the batch shape)."""
