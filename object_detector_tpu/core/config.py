@@ -115,6 +115,14 @@ class ModelConfig:
     # kept as the documented kernel-level negative result closing the
     # ops/pooling STATUS question.
     pool_grad_kernel: bool = False
+    # Rematerialize VGG block-1 in the backward pass (nn.remat): the
+    # block's activations are the largest live buffers in the train step
+    # (2x (B, 300, 300, 64) bf16 = 737 MB at bs=32) and its recompute is
+    # ~2 ms of the cheapest convs; dropping the buffers trades that
+    # recompute for HBM headroom/scheduling slack in the 77%-conv
+    # backward. Gradients are unchanged (same ops recomputed in the same
+    # dtype). STATUS: pending on-chip A/B (train_bench.py --remat-block1).
+    remat_block1: bool = False
 
     @property
     def num_levels(self) -> int:
@@ -265,17 +273,6 @@ class EvalConfig:
     # on this target, so the per-emit compare upcasts to f32 and the
     # converts eat the plane-op saving). Stays OFF: exactness for free.
     nms_coord_bf16: bool = False
-    # Emit int8-head class-logit slabs with the class dim padded up to the
-    # 128-lane tile (pad value = dtype min, the sigmoid/max identity).
-    # (B, A, C<128) is ALREADY stored 128-lane-padded physically on TPU,
-    # so the pad costs zero extra HBM bytes; what changes is the retile:
-    # the unaligned (H, W, a*C) -> (A_l, C) lane permute becomes
-    # lane-aligned block movement that XLA can fuse into each level's
-    # concat DUS (the retile+concat chain cost ~2.8 ms at SSD-512/COCO
-    # bs=64 — r3 HLO profile). Consumers treat lanes >= num_classes as
-    # padding (ops/postprocess.py slices gathered candidates).
-    # STATUS: pending on-chip A/B (benchmarks/headpad_ab.py).
-    cls_pad_lanes: bool = False
     # Per-level head consumption (int8 + Pallas path): postprocess reads
     # each head's native (B, H, W, a*C) output and prefilters per level
     # (two-stage exact top-k), so the concatenated (B, A, C) logits tensor

@@ -484,11 +484,11 @@ def pallas_per_class_nms(
         "score_threshold", "iou_threshold", "pre_nms_top_k", "max_detections",
         "max_per_class", "center_variance", "size_variance", "interpret",
         "exact_prefilter", "recall_target", "packed_sort", "class_top_k",
-        "coord_bf16", "num_classes",
+        "coord_bf16",
     ),
 )
 def pallas_decode_nms(
-    cls_logits: Array,  # (B, A, C) raw sigmoid logits (C may be lane-padded)
+    cls_logits: Array,  # (B, A, C) raw sigmoid logits
     box_offsets: Array,  # (B, A, 4) SSD-encoded offsets
     anchors_center: Array,  # (A, 4)
     *,
@@ -505,7 +505,6 @@ def pallas_decode_nms(
     packed_sort: bool = False,
     class_top_k: int = 0,
     coord_bf16: bool = False,
-    num_classes: int | None = None,
 ) -> Detections:
     """Fused candidate-sparse postprocess: the anchor pre-filter runs on
     LOGITS (sigmoid is monotone, so top-M by max-class logit == top-M by
@@ -534,8 +533,6 @@ def pallas_decode_nms(
             anchors_center[None], (batch, num_anchors, 4)
         )
     else:
-        # Class-max over lane-padded logits is exact: the pad value is the
-        # dtype's most-negative finite (engine._retile_cls), a max identity.
         agnostic = jnp.max(cls_logits, axis=-1)  # (B, A), native dtype
         if packed_sort:
             from object_detector_tpu.ops.packsort import top_k_packed_idx
@@ -550,11 +547,6 @@ def pallas_decode_nms(
         cand_logits = jnp.take_along_axis(cls_logits, aidx[..., None], axis=1)
         cand_offsets = jnp.take_along_axis(box_offsets, aidx[..., None], axis=1)
         cand_anchors = jnp.take(anchors_center, aidx, axis=0)  # (B, M, 4)
-
-    if num_classes is not None and num_classes < cand_logits.shape[-1]:
-        # Strip the lane padding on the gathered candidates only — the
-        # (B, M, C_pad) slice is ~100x smaller than the (B, A, C_pad) input.
-        cand_logits = cand_logits[:, :, :num_classes]
 
     return _candidates_decode_nms(
         cand_logits, cand_offsets, cand_anchors, m, m_eff,

@@ -74,6 +74,7 @@ class SSDModel(nn.Module):
                 compute_dtype=dtype,
                 pack_block1=cfg.model.pack_block1,
                 pool_grad_kernel=cfg.model.pool_grad_kernel,
+                remat_block1=cfg.model.remat_block1,
                 name="backbone",
             )(x)
             taps[0] = L2Norm(init_scale=cfg.model.l2norm_scale, name="l2norm")(taps[0])

@@ -91,12 +91,9 @@ class VGG16Backbone(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     pack_block1: bool = False
     pool_grad_kernel: bool = False
+    remat_block1: bool = False
 
-    @nn.compact
-    def __call__(self, x: Array) -> List[Array]:
-        conv = lambda c, name, **kw: nn.Conv(  # noqa: E731
-            c, (3, 3), padding="SAME", dtype=self.compute_dtype, name=name, **kw
-        )
+    def _pool(self):
         # reduce_window + select_and_scatter backward (3.6 ms/step) is the
         # MEASURED best at every level tried: XLA rewrites lost (6D mask:
         # 9.1 ms, lane-half pairwise max: +26 ms) and the Pallas
@@ -107,25 +104,44 @@ class VGG16Backbone(nn.Module):
         if self.pool_grad_kernel:
             from object_detector_tpu.ops.pooling import max_pool_2x2_fastgrad
 
-            pool = max_pool_2x2_fastgrad
-        else:
-            pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))  # noqa: E731
+            return max_pool_2x2_fastgrad
+        return lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))
 
-        x = x.astype(self.compute_dtype)
-        # Block 1: image-pair packed (full 128-lane tiles) when enabled
-        # and the batch is even; pairing first-half/second-half so the
-        # post-pool unpack restores the original batch order exactly.
+    def _block1(self, x: Array) -> Array:
+        """Block 1 (conv1_1 + conv1_2 + pool1), separable so it can run
+        under nn.remat — its activations are the largest live train-step
+        buffers (2x (B, S, S, 64)); param names stay canonical because the
+        method shares the module's scope."""
+        pool = self._pool()
+        # Image-pair packed (full 128-lane tiles) when enabled and the
+        # batch is even; pairing first-half/second-half so the post-pool
+        # unpack restores the original batch order exactly.
         if self.pack_block1 and x.shape[0] % 2 == 0:
             half = x.shape[0] // 2
             xb = jnp.concatenate([x[:half], x[half:]], axis=-1)
             xb = nn.relu(_PairConv(64, self.compute_dtype, name="conv1_1")(xb))
             xb = nn.relu(_PairConv(64, self.compute_dtype, name="conv1_2")(xb))
             xb = pool(xb)
-            x = jnp.concatenate([xb[..., :64], xb[..., 64:]], axis=0)
+            return jnp.concatenate([xb[..., :64], xb[..., 64:]], axis=0)
+        conv = lambda c, name: nn.Conv(  # noqa: E731
+            c, (3, 3), padding="SAME", dtype=self.compute_dtype, name=name
+        )
+        x = nn.relu(conv(64, "conv1_1")(x))
+        x = nn.relu(conv(64, "conv1_2")(x))
+        return pool(x)
+
+    @nn.compact
+    def __call__(self, x: Array) -> List[Array]:
+        conv = lambda c, name, **kw: nn.Conv(  # noqa: E731
+            c, (3, 3), padding="SAME", dtype=self.compute_dtype, name=name, **kw
+        )
+        pool = self._pool()
+
+        x = x.astype(self.compute_dtype)
+        if self.remat_block1:
+            x = nn.remat(VGG16Backbone._block1)(self, x)
         else:
-            x = nn.relu(conv(64, "conv1_1")(x))
-            x = nn.relu(conv(64, "conv1_2")(x))
-            x = pool(x)
+            x = self._block1(x)
         x = nn.relu(conv(128, "conv2_1")(x))
         x = nn.relu(conv(128, "conv2_2")(x))
         x = pool(x)

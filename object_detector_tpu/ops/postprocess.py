@@ -39,16 +39,6 @@ def postprocess(
     """Batched decode -> per-class NMS. Returns batch-stacked Detections."""
     if use_pallas is None:
         use_pallas = cfg.eval.use_pallas_nms
-    # cls_logits may arrive with the class dim lane-padded to 128
-    # (EvalConfig.cls_pad_lanes; pad value = dtype min so max/sigmoid are
-    # unaffected). The Pallas path strips the padding after the candidate
-    # gather; the jnp path slices upfront.
-    c_pad = cls_logits.shape[-1]
-    c_real = cfg.model.num_classes
-    if c_pad != c_real:
-        assert c_pad > c_real, (
-            f"cls_logits has {c_pad} classes, config says {c_real}"
-        )
     if use_pallas:
         # Fused candidate-sparse path: prefilter on raw logits, then
         # sigmoid + decode only the gathered candidates; batch folded into
@@ -75,11 +65,8 @@ def postprocess(
             packed_sort=cfg.eval.nms_packed_sort,
             class_top_k=cfg.eval.nms_class_top_k,
             coord_bf16=cfg.eval.nms_coord_bf16,
-            num_classes=c_real if c_pad != c_real else None,
         )
 
-    if c_pad != c_real:
-        cls_logits = cls_logits[:, :, :c_real]
     scores = scores_from_logits(cls_logits.astype(jnp.float32), cfg.model.family)
     decoded = box_ops.decode(
         box_offsets.astype(jnp.float32),

@@ -1135,29 +1135,6 @@ def run_int8(
     return taps
 
 
-def _retile_cls(y: Array, a: int, num_classes: int, pad_lanes: bool) -> Array:
-    """Head-native (B, H, W, a*C) class logits -> (B, H*W*a, C | C_pad).
-
-    pad_lanes=True pads the class dim up to the 128-lane tile with the
-    dtype's most-negative finite value (identity for sigmoid -> score 0
-    and for the class-max prefilter), so the retile is lane-aligned block
-    movement instead of an unaligned C-minor relayout and can fuse into
-    the level concat. (B, A, C<128) is already 128-lane padded physically
-    on TPU, so the logical pad adds zero HBM bytes. Consumers slice lanes
-    >= num_classes after the candidate gather (ops/postprocess.py)."""
-    b, h, w, _ = y.shape
-    if not pad_lanes or num_classes % 128 == 0:
-        return y.reshape(b, h * w * a, num_classes)
-    c_pad = ((num_classes + 127) // 128) * 128
-    neg = jnp.finfo(y.dtype).min
-    y = y.reshape(b, h * w, a, num_classes)
-    y = jnp.pad(
-        y, ((0, 0), (0, 0), (0, 0), (0, c_pad - num_classes)),
-        constant_values=neg,
-    )
-    return y.reshape(b, h * w * a, c_pad)
-
-
 def apply_heads_int8(
     qp: QuantParams,
     taps_q: List[Tuple[Array, float]],
@@ -1226,9 +1203,13 @@ def apply_heads_int8(
             cls_out.append(outs["cls"])
             box_out.append(outs["box"])
             continue
-        cls_out.append(_retile_cls(
-            outs["cls"], a, cfg.model.num_classes, cfg.eval.cls_pad_lanes
-        ))
+        # NOTE (r4 measured dead end, chip_logs/headpad_ab.log): emitting
+        # this slab with the class dim padded to the 128-lane tile (hoping
+        # the unaligned C-minor retile would become fused aligned block
+        # moves) LOST uniformly — 0.87x SSD-512, 0.86x RetinaNet, 0.63x
+        # SSD-300, bitwise-equal outputs — proving XLA stores (B, A, C)
+        # compactly (NOT lane-padded), so padding is pure added traffic.
+        cls_out.append(outs["cls"].reshape(b, h * w * a, cfg.model.num_classes))
         box_out.append(outs["box"].reshape(b, h * w * a, 4))
     if not concat:
         return tuple(cls_out), tuple(box_out)
@@ -1482,12 +1463,7 @@ def run_int8_fpn_heads(
                 outs[head].append(y)
                 continue
             b, h, w, _ = y.shape
-            if head == "cls_head":
-                outs[head].append(_retile_cls(
-                    y, 9, n_out, cfg.eval.cls_pad_lanes
-                ))
-            else:
-                outs[head].append(y.reshape(b, h * w * 9, n_out))
+            outs[head].append(y.reshape(b, h * w * 9, n_out))
     if not concat:
         return tuple(outs["cls_head"]), tuple(outs["box_head"])
     return (

@@ -221,39 +221,6 @@ def test_bf16_logits_close_and_postprocess_runs(setup):
     np.testing.assert_allclose(s, s_ref, atol=2e-3)
 
 
-def test_cls_pad_lanes_bitexact(setup):
-    """EvalConfig.cls_pad_lanes is an exact layout transform: the padded
-    slab carries the real logits in lanes [:C] and dtype-min in the pad
-    lanes, and BOTH postprocess paths (jnp + Pallas-interpret) return
-    bitwise-identical detections to the unpadded path."""
-    import dataclasses as dc
-
-    from object_detector_tpu.anchors.priors import ssd_anchors
-    from object_detector_tpu.ops.postprocess import postprocess
-
-    cfg, _, params, x = setup
-    qp, spec = engine.quantize_ssd(cfg, params, [x])
-    cls_a, box_a = engine.int8_forward(qp, spec, cfg, x)
-    cfg_pad = cfg.replace(eval=dc.replace(cfg.eval, cls_pad_lanes=True))
-    cls_b, box_b = engine.int8_forward(qp, spec, cfg_pad, x)
-    c = cls_a.shape[-1]
-    assert cls_b.shape[-1] == 128
-    np.testing.assert_array_equal(np.asarray(cls_b[..., :c]), np.asarray(cls_a))
-    assert bool(jnp.all(cls_b[..., c:] == jnp.finfo(cls_b.dtype).min))
-    np.testing.assert_array_equal(np.asarray(box_a), np.asarray(box_b))
-
-    anchors = jnp.asarray(ssd_anchors(cfg.anchors, cfg.model.image_size))
-    for pallas in (False, True):
-        det_a = postprocess(cls_a, box_a, anchors, cfg, use_pallas=pallas)
-        det_b = postprocess(cls_b, box_b, anchors, cfg_pad, use_pallas=pallas)
-        for name in ("boxes", "scores", "classes", "valid"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(det_a, name)),
-                np.asarray(getattr(det_b, name)),
-                err_msg=f"{name} mismatch (use_pallas={pallas})",
-            )
-
-
 @pytest.mark.parametrize("size", [64, 65, 70])
 def test_s2d_stem_conv_bitexact(size):
     """Space-to-depth 7x7/s2 stem conv == direct conv, bit-exact in int32
