@@ -73,11 +73,42 @@ def main() -> None:
         return jnp.take_along_axis(idx, sub, axis=1)
 
     @jax.jit
-    def blockmax(s):
-        blk = s.reshape(B, M, A // M)
-        arg = jnp.argmax(blk, axis=2)
-        base = jnp.arange(M, dtype=arg.dtype) * (A // M)
-        return arg + base[None, :]
+    def approx_bf16(s):
+        _, idx = jax.lax.approx_max_k(
+            s.astype(jnp.bfloat16), M, recall_target=0.95
+        )
+        return idx
+
+    @jax.jit
+    def approx_bf16_to_f32(s):
+        # The production graph's shape: bf16 class-max, f32 selection.
+        _, idx = jax.lax.approx_max_k(
+            s.astype(jnp.bfloat16).astype(jnp.float32), M,
+            recall_target=0.95,
+        )
+        return idx
+
+    # The production composition: class-max reduce over bf16 (B, A, C)
+    # logits fused with the selection — isolates whether the 2.95 ms
+    # custom-call in hlo_retinanet.log is the PartialReduce itself or
+    # the fused reduce feeding it.
+    C = 80
+    logits = jnp.asarray(
+        np.random.default_rng(1).normal(-4.6, 1.0, (B, A, C))
+        .astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    @jax.jit
+    def fused_max_approx(lg):
+        agnostic = jnp.max(lg, axis=-1)
+        _, idx = jax.lax.approx_max_k(agnostic, M, recall_target=0.95)
+        return idx
+
+    @jax.jit
+    def fused_max_f32_approx(lg):
+        agnostic = jnp.max(lg, axis=-1).astype(jnp.float32)
+        _, idx = jax.lax.approx_max_k(agnostic, M, recall_target=0.95)
+        return idx
 
     arms = {
         "exact_top_k": lambda s: exact(s),
@@ -85,7 +116,8 @@ def main() -> None:
         "approx_rt85": lambda s: approx(s, rt=0.85),
         "approx_pad49152": lambda s: approx_pad(s),
         "two_stage_4M": lambda s: two_stage(s),
-        "blockmax": lambda s: blockmax(s),
+        "approx_bf16": lambda s: approx_bf16(s),
+        "approx_bf16_to_f32": lambda s: approx_bf16_to_f32(s),
     }
     ref = np.asarray(jax.device_get(exact(scores)))
     ref_sets = [set(r.tolist()) for r in ref]
@@ -95,8 +127,13 @@ def main() -> None:
         recall = float(np.mean([
             len(set(g.tolist()) & rs) / M for g, rs in zip(got, ref_sets)
         ]))
-        print(f"{name:16s} {dt*1e3:7.3f} ms   recall@{M}={recall:.4f}",
+        print(f"{name:18s} {dt*1e3:7.3f} ms   recall@{M}={recall:.4f}",
               flush=True)
+    for name, fn in (("fused_max_approx", fused_max_approx),
+                     ("fused_max_f32_approx", fused_max_f32_approx)):
+        dt = timed(fn, logits, iters=100)
+        print(f"{name:18s} {dt*1e3:7.3f} ms   (incl. class-max over "
+              f"(32,49104,80) bf16)", flush=True)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,8 @@ def main():
                          "print the per-op device cost map")
     ap.add_argument("--pack-block1", action="store_true",
                     help="image-pair packed VGG block-1 (A/B arm)")
+    ap.add_argument("--remat-block1", action="store_true",
+                    help="rematerialize VGG block-1 in the backward (A/B arm)")
     args = ap.parse_args()
     if args.json:
         # Liveness marker (see bench.py): client is up, not wedged.
@@ -50,6 +52,8 @@ def main():
     cfg = cfg.override({"train.batch_size": bs})
     if args.pack_block1:
         cfg = cfg.override({"model.pack_block1": True})
+    if args.remat_block1:
+        cfg = cfg.override({"model.remat_block1": True})
     s = cfg.model.image_size
     m = cfg.data.max_boxes
 

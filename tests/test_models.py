@@ -86,6 +86,38 @@ def test_resnet_batch_stats_update():
     assert changed, "BatchNorm running stats did not update in train mode"
 
 
+def test_remat_block1_identical_values_and_grads():
+    """remat_block1 recomputes the same ops in the same dtype, so params,
+    forward outputs AND gradients must be bitwise identical to the plain
+    path (it changes scheduling/memory, never math)."""
+    cfg = tiny_test_config()
+    cfg_r = cfg.override({"model.remat_block1": True})
+    model_a, model_r = SSDModel(cfg), SSDModel(cfg_r)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, 64, 64, 3)), jnp.float32
+    )
+    va = model_a.init(jax.random.key(0), x)
+    vr = model_r.init(jax.random.key(0), x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        va, vr,
+    )
+
+    def loss(m, v):
+        c, b = m.apply(v, x)
+        return jnp.mean(c**2) + jnp.mean(b**2)
+
+    la = jax.jit(lambda v: loss(model_a, v))(va)
+    lr = jax.jit(lambda v: loss(model_r, v))(vr)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lr))
+    ga = jax.jit(jax.grad(lambda v: loss(model_a, v)))(va)
+    gr = jax.jit(jax.grad(lambda v: loss(model_r, v)))(vr)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ga, gr,
+    )
+
+
 @pytest.mark.slow  # dead-end-path parity; tier re-budget (VERDICT r3 #7)
 def test_pack_block1_bitexact_and_grad():
     """Image-pair packed block-1 == plain path: identical param tree,
