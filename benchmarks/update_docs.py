@@ -31,7 +31,7 @@ ROWS = [
     ("ssd300_bf16", "same, bf16"),
     ("ssd512_int8", "SSD-512/ResNet-50 bs=64 (int8, BN-folded)"),
     ("ssd512_bf16", "SSD-512/ResNet-50 bs=32 (bf16)"),
-    ("retinanet_int8", "RetinaNet/FPN-ResNet-50 bs=32 (int8 incl. FPN+heads)"),
+    ("retinanet_int8", "RetinaNet/FPN-ResNet-50 bs=64 (int8 incl. FPN+heads)"),
     ("retinanet_bf16", "RetinaNet/FPN-ResNet-50 bs=32 (bf16)"),
     ("train_ssd300_bs32", "train step bs=32 (augment+match+fwd+bwd+SGD)"),
 ]
