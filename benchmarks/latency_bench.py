@@ -1,14 +1,20 @@
 """p50 single-image latency (BASELINE metric #3): uint8 image -> detections,
 bs=1, full on-chip pipeline.
 
-Measures BOTH serving paths — int8 (quantize_ssd -> int8_forward ->
-Pallas NMS, the throughput default) and bf16 float — and reports the
-faster one as the primary p50: a latency-optimized bs=1 deployment picks
-its serving config, and at bs=1 the int8 per-conv requant overhead is not
-amortized (measured 1.57 ms int8 vs 1.09 ms bf16 on v5e-1), so bf16 is
-the production bs=1 path. Both raw numbers + the chosen path are in the
-JSON. Calibration uses a synthetic batch (scale choice shifts
-quantization rounding, not timing)."""
+Measures BOTH serving paths — bf16 float (the production bs=1 path:
+measured 1.09 ms bf16 vs 1.57 ms int8 on v5e-1, the per-conv requant
+overhead is not amortized at bs=1) and int8 (quantize_ssd ->
+int8_forward -> Pallas NMS, the throughput default) — and reports the
+faster one as the primary p50. Calibration uses a synthetic batch (scale
+choice shifts quantization rounding, not timing).
+
+Incremental-emit contract (VERDICT r4 missing #1): the bf16 path is
+compiled, measured, and its p50 JSON line PRINTED before the int8 path
+is even quantized. bench.py merges streamed lines, so a deadline kill
+after the first emit still lands `p50_latency_ms_bs1` in the driver
+record. r4 lost the metric because this stage compiled both paths and
+emitted once at the end, blowing its 600 s cap in a slow session.
+"""
 
 import os
 import sys
@@ -24,23 +30,38 @@ enable_compilation_cache(scoped_vmem_kib=None)  # latency path: default VMEM
 import jax.numpy as jnp
 import numpy as np
 
+_JSON = "--json" in sys.argv
+_REC: dict = {}
+_T0 = time.monotonic()
+
+
+def emit(d: dict) -> None:
+    """Merge + print the cumulative record immediately (bench.py streams)."""
+    if _JSON:
+        import json
+
+        _REC.update(d)
+        print(json.dumps(_REC), flush=True)
+
+
+def mark(what: str) -> None:
+    """Timestamped stderr progress marker (diagnoses slow-stage sessions:
+    the r4/r5 driver runs blew the 600 s cap with ZERO indication of which
+    compile ate it)."""
+    print(f"[latency +{time.monotonic() - _T0:.0f}s] {what}",
+          file=sys.stderr, flush=True)
+
 
 def main():
-    if "--json" in sys.argv:
-        # Liveness marker (see bench.py): client is up, not wedged.
-        import json
-
-        print(json.dumps({"latency_stage_backend": jax.default_backend()}),
-              flush=True)
-    if "--json" in sys.argv and jax.default_backend() != "tpu":
+    # Liveness marker (see bench.py): client is up, not wedged.
+    emit({"latency_stage_backend": jax.default_backend()})
+    if _JSON and jax.default_backend() != "tpu":
         # bench.py probes latency unconditionally (before it knows its own
         # backend); don't burn minutes on a CPU forward loop.
-        import json
-
-        print(json.dumps({
+        emit({
             "p50_latency_ms_bs1": None,
             "latency_skipped": f"backend={jax.default_backend()}",
-        }))
+        })
         return
 
     from object_detector_tpu.anchors.priors import ssd_anchors
@@ -49,32 +70,19 @@ def main():
     from object_detector_tpu.ops import augment as aug_ops
     from object_detector_tpu.ops.postprocess import postprocess
 
-    from object_detector_tpu.quant import engine as qengine
-
     cfg = get_config("ssd300_vgg16_voc")
     s = cfg.model.image_size
     on_tpu = jax.default_backend() == "tpu"
     model = SSDModel(cfg)
+    mark("init start")
     variables = model.init(jax.random.key(0), jnp.zeros((1, s, s, 3)), train=False)
+    jax.block_until_ready(jax.tree.leaves(variables)[0])
+    mark("init done")
     anchors = jnp.asarray(ssd_anchors(cfg.anchors, s))
 
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.integers(0, 255, (1, s, s, 3), dtype=np.uint8))
     params = variables["params"]
-
-    calib = aug_ops.normalize(
-        jnp.asarray(rng.integers(0, 255, (8, s, s, 3), dtype=np.uint8))
-        .astype(jnp.float32) / 255.0
-    )
-    qp, spec = qengine.quantize_ssd(cfg, params, [calib])
-    qp = jax.device_put(qp)
-
-    @jax.jit
-    def infer(q, x):
-        images = aug_ops.normalize(x.astype(jnp.float32) / 255.0)
-        cls, box = qengine.int8_forward(q, spec, cfg, images)
-        det = postprocess(cls, box, anchors, cfg, use_pallas=on_tpu)
-        return det.boxes, det.scores, det.classes, det.valid
 
     @jax.jit
     def infer_f(p, x):
@@ -85,19 +93,53 @@ def main():
 
     from benchmarks.timing import fetch_overhead, timed
 
-    # On-device compute latency (tunnel-corrected, steady state), both
-    # serving paths; the faster one is the primary p50 (see docstring).
-    dt_i8 = timed(infer, qp, image, iters=100)
-    print(f"bs=1 on-device latency int8: {dt_i8*1e3:.2f} ms")
+    # 1) bf16 FIRST (production bs=1 path) — emit the primary p50 the
+    #    moment it exists.
+    mark("bf16 compile+measure start")
     dt_f = timed(infer_f, params, image, iters=100)
+    mark("bf16 measured")
     print(f"bs=1 on-device latency bf16: {dt_f*1e3:.2f} ms")
+    emit({
+        "p50_latency_ms_bs1": round(dt_f * 1e3, 3),
+        "p50_latency_path": "bf16",
+        "p50_latency_ms_bs1_bf16": round(dt_f * 1e3, 3),
+    })
+
+    # 2) int8 path second; primary only updates if it wins.
+    from object_detector_tpu.quant import engine as qengine
+
+    calib = aug_ops.normalize(
+        jnp.asarray(rng.integers(0, 255, (8, s, s, 3), dtype=np.uint8))
+        .astype(jnp.float32) / 255.0
+    )
+    mark("int8 quantize start")
+    qp, spec = qengine.quantize_ssd(cfg, params, [calib])
+    qp = jax.device_put(qp)
+    mark("int8 quantized")
+
+    @jax.jit
+    def infer(q, x):
+        images = aug_ops.normalize(x.astype(jnp.float32) / 255.0)
+        cls, box = qengine.int8_forward(q, spec, cfg, images)
+        det = postprocess(cls, box, anchors, cfg, use_pallas=on_tpu)
+        return det.boxes, det.scores, det.classes, det.valid
+
+    dt_i8 = timed(infer, qp, image, iters=100)
+    mark("int8 measured")
+    print(f"bs=1 on-device latency int8: {dt_i8*1e3:.2f} ms")
     if dt_f <= dt_i8:
         dt, path, fast_fn, fast_p = dt_f, "bf16", infer_f, params
     else:
         dt, path, fast_fn, fast_p = dt_i8, "int8", infer, qp
     print(f"bs=1 p50 (primary, {path} path): {dt*1e3:.2f} ms")
+    emit({
+        "p50_latency_ms_bs1": round(dt * 1e3, 3),
+        "p50_latency_path": path,
+        "p50_latency_ms_bs1_int8": round(dt_i8 * 1e3, 3),
+    })
 
-    # End-to-end including the tunnel round-trip (what a remote client sees).
+    # 3) End-to-end including the tunnel round-trip (what a remote client
+    #    sees) — a refinement, never load-bearing for the driver metric.
     out = fast_fn(fast_p, image)
     rt = fetch_overhead(out)
     lat = []
@@ -111,16 +153,7 @@ def main():
         f"end-to-end (incl. ~{rt*1e3:.0f}ms tunnel RT): "
         f"p50={np.percentile(lat, 50):.2f}ms p90={np.percentile(lat, 90):.2f}ms"
     )
-    if "--json" in sys.argv:
-        import json
-
-        print(json.dumps({
-            "p50_latency_ms_bs1": round(dt * 1e3, 3),
-            "p50_latency_path": path,
-            "p50_latency_ms_bs1_int8": round(dt_i8 * 1e3, 3),
-            "p50_latency_ms_bs1_bf16": round(dt_f * 1e3, 3),
-            "e2e_p50_ms_incl_tunnel": round(float(np.percentile(lat, 50)), 2),
-        }))
+    emit({"e2e_p50_ms_incl_tunnel": round(float(np.percentile(lat, 50)), 2)})
 
 
 if __name__ == "__main__":

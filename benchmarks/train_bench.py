@@ -96,13 +96,26 @@ def main():
             np.asarray(jax.device_get(loss))  # tunnel fence
         report(trace_dir, top=40)
         return
+    # Incremental-emit contract (VERDICT r4 missing #1): the compile is the
+    # expensive part (>540 s cold); emit a preliminary throughput line from
+    # a short first window so a deadline kill mid-refinement still lands
+    # `train_images_per_sec_chip` in the driver record, then refine.
+    if args.json:
+        dt0 = timed(stepper, batch, key, iters=4)
+        print(json.dumps({
+            "train_images_per_sec_chip": round(bs / dt0, 1),
+            "train_step_ms": round(dt0 * 1e3, 2),
+            "train_batch_size": bs,
+            "train_window": "preliminary-4it",
+        }), flush=True)
     dt = timed(stepper, batch, key, iters=args.iters)
     if args.json:
         print(json.dumps({
             "train_images_per_sec_chip": round(bs / dt, 1),
             "train_step_ms": round(dt * 1e3, 2),
             "train_batch_size": bs,
-        }))
+            "train_window": f"final-{args.iters}it",
+        }), flush=True)
     else:
         print(f"train step bs={bs}: {dt*1e3:.2f} ms  {bs/dt:.1f} img/s/chip")
 

@@ -10,6 +10,8 @@ config API must be used before first backend use (verified: env-only setup
 silently ran the suite on the tunneled TPU).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -17,6 +19,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent XLA compilation cache (host-local): the default tier is
+# compile-bound (the dp8 train-step program alone is ~40 s of XLA:CPU
+# compile), and jax 0.9 caches CPU executables too. Cold first run pays
+# full compile; warm reruns on the same host load from here. Entries are
+# host-feature-checked by XLA at load (mismatches recompile, never SIGILL).
+_cache_dir = os.environ.get(
+    "ODT_TEST_XLA_CACHE", "/tmp/odt_test_xla_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def pytest_addoption(parser):
