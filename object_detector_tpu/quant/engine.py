@@ -170,6 +170,20 @@ class PoolOp:
 
 
 @dataclasses.dataclass(frozen=True)
+class StemPoolPallasOp:
+    """ResNet 7x7/s2 stem conv + folded-BN bias + ReLU + requant +
+    3x3/s2/pad1 max-pool as ONE Pallas kernel
+    (kernels/resnet_stem_pallas.py — parity-split-lane formulation).
+    Replaces the [input-quantize, ConvOp(stem), PoolOp] prefix: the input
+    quantize is fused into the kernel's staging relayout. Bit-exact vs
+    the unfused chain (tests/test_resnet_stem_pallas.py); calibration /
+    scale keys / weight quantization EXPAND this op (_expand_spec) so one
+    QuantParams serves both specs."""
+
+    path: str = "backbone/stem_conv"
+
+
+@dataclasses.dataclass(frozen=True)
 class PadToEvenOp:
     pass
 
@@ -259,6 +273,11 @@ def _expand_spec(spec: Spec) -> Spec:
                 ConvOp(c2, kernel=3),
                 ConvOp(c3, kernel=1, relu=True, add_register="sc"),
             ]
+        elif isinstance(op, StemPoolPallasOp):
+            out += [
+                ConvOp(op.path, kernel=7, stride=2, padding=3),
+                PoolOp(3, 2, explicit_pad=1),
+            ]
         elif isinstance(op, (PackImagesOp, UnpackImagesOp)):
             continue
         elif isinstance(op, ConvOp) and op.img_pack:
@@ -309,16 +328,31 @@ def build_resnet_trunk_spec(
         fused_bottleneck = _env_tristate("ODT_FUSED_BOTTLENECK", auto=False)
     if img_pack is None:
         img_pack = _env_tristate("ODT_IMG_PACK", auto=False)
-    spec: Spec = [
-        PackImagesOp(),
-        ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3,
-               algo=stem_algo, img_pack=True),
-        PoolOp(3, 2, explicit_pad=1),
-    ] if img_pack else [
-        ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3,
-               algo=stem_algo),
-        PoolOp(3, 2, explicit_pad=1),
-    ]
+    # Fused Pallas stem kernel (StemPoolPallasOp): replaces quantize+conv+
+    # pool with one kernel. STATUS: pending the r5 on-chip A/B
+    # (benchmarks/resnet_stem_kernel_ab.py) — every XLA-level stem
+    # formulation measured a loss (chip_logs/stem_packed_ab.log), this is
+    # the Mosaic-level lever TPU_WORK_QUEUE prices at SSD-512 1806->~2040.
+    # When on, image pairing starts AT STAGE 1 (the kernel is per-image;
+    # the pooled tensor packs just as well).
+    stem_kernel = _env_tristate(
+        "ODT_STEM_KERNEL", auto=False
+    ) and stem_algo == "direct"
+    if stem_kernel:
+        spec: Spec = [StemPoolPallasOp()]
+        if img_pack:
+            spec.append(PackImagesOp())
+    else:
+        spec = [
+            PackImagesOp(),
+            ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3,
+                   algo=stem_algo, img_pack=True),
+            PoolOp(3, 2, explicit_pad=1),
+        ] if img_pack else [
+            ConvOp("backbone/stem_conv", kernel=7, stride=2, padding=3,
+                   algo=stem_algo),
+            PoolOp(3, 2, explicit_pad=1),
+        ]
     stage_sizes = (3, 4, 6, 3)
     for stage, n_blocks in enumerate(stage_sizes, start=1):
         # stage 1 is the 64-channel section: packed when img_pack (which
@@ -637,6 +671,17 @@ def run_float(
                 y = jnp.maximum(y, 0.0)
             x = _pool(y.astype(compute_dtype), PoolOp())
             absmax[op.path] = jnp.max(jnp.abs(x))
+        elif isinstance(op, StemPoolPallasOp):
+            # Float reference: plain conv + bias + relu + pool (identical
+            # math to the expanded chain; relu>=0 so the pre-pool absmax
+            # survives pooling and scales match the kernel path exactly).
+            p = _get_path(params, op.path)
+            cop = ConvOp(op.path, kernel=7, stride=2, padding=3)
+            y = _conv(x, p["kernel"].astype(compute_dtype), cop, jnp.float32)
+            y = jnp.maximum(y + p["bias"].astype(jnp.float32), 0.0)
+            x = y.astype(compute_dtype)
+            absmax[op.path] = jnp.max(jnp.abs(x))
+            x = _pool(x, PoolOp(3, 2, explicit_pad=1))
         elif isinstance(op, FusedStemOp):
             # Float reference: conv-relu-conv-relu-pool; absmax recorded
             # per conv exactly like the unfused spec (relu>=0 so the pool
@@ -856,7 +901,15 @@ def run_int8(
         else:
             b0, h0, w0, c0 = images.shape
             images = images.reshape(b0, h0, w0 // 2, 2 * c0)
-    x = jnp.clip(jnp.round(images / in_scale), -127, 127).astype(jnp.int8)
+    if bool(spec) and isinstance(spec[0], StemPoolPallasOp):
+        # The Pallas stem's staging IS the input quantize (fused with the
+        # (U, L) relayout + y-pad) — the generic 64 MB quantize pass below
+        # never materializes for this path.
+        from object_detector_tpu.kernels import resnet_stem_pallas
+
+        x = resnet_stem_pallas.stage_stem_input(images, in_scale)
+    else:
+        x = jnp.clip(jnp.round(images / in_scale), -127, 127).astype(jnp.int8)
     cur_scale = in_scale
 
     regs: Dict[str, Tuple[Array, float]] = {}
@@ -932,6 +985,24 @@ def run_int8(
             # fused and pool on int8.
             out_scale = qp.act_scale[op.path]
             x = jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
+            cur_scale = out_scale
+        elif isinstance(op, StemPoolPallasOp):
+            from object_detector_tpu.kernels import resnet_stem_pallas
+
+            # x is the STAGED input (B, (H+6)*16, W/4) — see above.
+            h_img = x.shape[1] // resnet_stem_pallas._U - 2 * resnet_stem_pallas._PAD
+            out_scale = qp.act_scale[op.path]
+            a = resnet_stem_pallas.pack_stem_weights(
+                jnp.asarray(qp.w_int8[op.path])
+            )
+            x = resnet_stem_pallas.stem_conv_pool(
+                x,
+                a,
+                cur_scale * jnp.asarray(qp.w_scale[op.path]),
+                jnp.asarray(qp.bias[op.path]),
+                out_scale,
+                image_hw=h_img,
+            )
             cur_scale = out_scale
         elif isinstance(op, BottleneckOp):
             from object_detector_tpu.kernels import bottleneck_pallas

@@ -745,3 +745,24 @@ def test_build_spec_resnet_img_pack_env_resolution(resnet_setup, monkeypatch):
     monkeypatch.setenv("ODT_IMG_PACK", "0")
     spec_off = engine.build_spec(cfg)
     assert not any(isinstance(op, engine.PackImagesOp) for op in spec_off)
+
+
+@pytest.mark.slow  # 256px interpret-mode trunk x2 (~4 min); the fast
+# kernel-level parity is tests/test_resnet_stem_pallas.py (default tier)
+def test_stem_kernel_trunk_spec_matches_plain(resnet_setup, monkeypatch):
+    """Full int8 ResNet trunk with the fused Pallas stem
+    (StemPoolPallasOp — kernels/resnet_stem_pallas.py) == the plain
+    quantize+conv+pool spec, bit-exact from ONE shared QuantParams
+    (interpret mode on CPU; on-chip A/B in
+    benchmarks/resnet_stem_kernel_ab.py)."""
+    cfg, _, variables, x = resnet_setup
+    qp, spec = engine.quantize_ssd(
+        cfg, variables["params"], [x], batch_stats=variables["batch_stats"]
+    )
+    monkeypatch.setenv("ODT_STEM_KERNEL", "1")
+    spec_kernel = engine.build_resnet_trunk_spec() + engine._extras_spec(cfg, 3)
+    assert isinstance(spec_kernel[0], engine.StemPoolPallasOp)
+    q_cls_a, q_box_a = engine.int8_forward(qp, spec, cfg, x)
+    q_cls_b, q_box_b = engine.int8_forward(qp, spec_kernel, cfg, x)
+    np.testing.assert_array_equal(np.asarray(q_cls_a), np.asarray(q_cls_b))
+    np.testing.assert_array_equal(np.asarray(q_box_a), np.asarray(q_box_b))
