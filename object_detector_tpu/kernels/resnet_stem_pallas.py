@@ -20,10 +20,12 @@ sub-128-lane tiles and negative roll shifts):
   So THREE lane-rolled copies R_d (positive pltpu.roll + iota edge mask;
   session-5 probes: negative shifts rejected, positive compile) make
   every conv row ONE K-contraction over contiguous sublanes:
-      acc = sum_d A_d (128,112) @ R_d[32y : 32y+112] (112,L)
+      acc = sum_d A_d (128,128) @ R_d[32y : 32y+128] (128,L)
   A row m = 64p + cout packs BOTH parities -> M=128, full MXU rows.
-  K = 7 rows x 16 sublanes = 112; slice starts 32y are 32-aligned (int8
-  native tile), so no relayout copies per dot.
+  K = 7 rows x 16 sublanes = 112, zero-padded to 128 full lanes (the
+  extra 16 columns multiply input row 2y+7 against zero weights; the
+  staged height works out so the padded slice always fits); slice starts
+  32y are 32-aligned (int8 native tile), so no relayout copies per dot.
 * Because even/odd x live on separate SUBLANE halves of the (128, L)
   conv row, the 3x3/s2 pool needs NO stride-2 lane select (the hazard
   that killed the VGG tap-stack kernel): pool col c = max(E[c], O[c],
@@ -85,7 +87,7 @@ def _slot_map() -> list:
 
 
 def pack_stem_weights(w_q: Array) -> Array:
-    """(7,7,3,64) int8 stem kernel -> (3, 128, 112) packed A_d matrices.
+    """(7,7,3,64) int8 stem kernel -> (3, 128, 128) packed A_d matrices.
 
     A[d_idx, 64*p + cout, 16*dy + u] = w_q[dy, dx, cin, cout] per the slot
     map; all other entries 0 (structural zeros; the three arms share one

@@ -46,9 +46,10 @@ def test_overfit_one_batch(setup):
 
 def test_dp8_matches_single_device(setup):
     cfg, model, anchors, batch = setup
-    # Fresh state for each run (same init seed).
+    # One init, two independent buffer copies (the step donates its input
+    # state; a second init_model_state costs ~15 s of XLA:CPU compile).
     _, state_a = init_model_state(cfg, jax.random.key(0))
-    _, state_b = init_model_state(cfg, jax.random.key(0))
+    state_b = jax.tree.map(jnp.array, state_a)
     rng = jax.random.key(2)
 
     single = make_train_step(cfg, model, anchors, mesh=None, augment=False)
