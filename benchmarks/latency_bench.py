@@ -8,15 +8,28 @@ int8_forward -> Pallas NMS, the throughput default) — and reports the
 faster one as the primary p50. Calibration uses a synthetic batch (scale
 choice shifts quantization rounding, not timing).
 
-Incremental-emit contract (VERDICT r4 missing #1): the bf16 path is
-compiled, measured, and its p50 JSON line PRINTED before the int8 path
-is even quantized. bench.py merges streamed lines, so a deadline kill
-after the first emit still lands `p50_latency_ms_bs1` in the driver
-record. r4 lost the metric because this stage compiled both paths and
-emitted once at the end, blowing its 600 s cap in a slow session.
+Stage architecture (r5, after the four-round p50-null postmortem):
+
+1. AOT FAST PATH first: the bf16 program is a committed `jax.export`
+   artifact (benchmarks/aot/latency_bf16.jaxexp) deserialized and run
+   directly — NO big trace under the axon platform. Measured r5
+   (latency_probe.py): tracing the first big program under axon blocks
+   ~611 s on per-op tunnel round-trips (0% local CPU) while the same
+   lower takes 0.4 s on the CPU platform; that chatter, not compile, is
+   what blew this stage's 600 s cap in the r4/r5 driver sessions. Param
+   values come from a CPU-subprocess init (aot_params.py, threefry is
+   platform-deterministic -> bit-identical to the on-device init), and
+   the compile hits the committed benchmarks/xla_cache. The p50 JSON
+   line is emitted the moment the bf16 number exists.
+2. The int8 path then refines in the same process via the legacy traced
+   route (it pays the one-time chatter stall AFTER the metric is safe;
+   a deadline kill beyond this point costs only the refinement).
+3. Any AOT failure (missing artifact, env drift) falls back to the
+   legacy full path — same numbers, old timing risk.
 """
 
 import os
+import subprocess
 import sys
 import time
 
@@ -33,6 +46,7 @@ import numpy as np
 _JSON = "--json" in sys.argv
 _REC: dict = {}
 _T0 = time.monotonic()
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def emit(d: dict) -> None:
@@ -45,11 +59,45 @@ def emit(d: dict) -> None:
 
 
 def mark(what: str) -> None:
-    """Timestamped stderr progress marker (diagnoses slow-stage sessions:
-    the r4/r5 driver runs blew the 600 s cap with ZERO indication of which
-    compile ate it)."""
+    """Timestamped stderr progress marker (diagnoses slow-stage sessions)."""
     print(f"[latency +{time.monotonic() - _T0:.0f}s] {what}",
           file=sys.stderr, flush=True)
+
+
+def _aot_bf16():
+    """AOT fast path. Returns (dt_seconds, call_fn, params) or None."""
+    from benchmarks import aot
+
+    if not aot.have("latency_bf16"):
+        mark("aot: no artifact")
+        return None
+    npz = "/tmp/odt_lat_params.npz"
+    helper = None
+    if not os.path.exists(npz):
+        # CPU-subprocess init runs concurrently with our own setup.
+        helper = subprocess.Popen(
+            [sys.executable, os.path.join(_HERE, "aot_params.py"),
+             "latency", npz],
+            stdout=subprocess.DEVNULL,
+        )
+        mark("aot: params helper spawned")
+    exported = aot.load("latency_bf16")
+    call = jax.jit(exported.call)
+    if helper is not None:
+        rc = helper.wait(timeout=420)
+        if rc != 0:
+            mark(f"aot: params helper rc={rc}")
+            return None
+    params = jax.device_put(aot.nested_from_npz(npz))
+    mark("aot: params on device")
+    rng = np.random.default_rng(0)
+    s = 300
+    image = jnp.asarray(rng.integers(0, 255, (1, s, s, 3), dtype=np.uint8))
+    from benchmarks.timing import timed
+
+    dt = timed(call, params, image, iters=100)
+    mark("aot: bf16 measured")
+    return dt, call, params
 
 
 def main():
@@ -64,6 +112,28 @@ def main():
         })
         return
 
+    from benchmarks.timing import fetch_overhead, timed
+
+    rng = np.random.default_rng(0)
+    s = 300
+    image = jnp.asarray(rng.integers(0, 255, (1, s, s, 3), dtype=np.uint8))
+
+    dt_f = None
+    fast_fn = fast_p = None
+    try:
+        res = _aot_bf16()
+    except Exception as e:  # env drift etc. — fall back to legacy
+        mark(f"aot: failed ({type(e).__name__}: {e}); legacy path")
+        res = None
+    if res is not None:
+        dt_f, fast_fn, fast_p = res
+        print(f"bs=1 on-device latency bf16: {dt_f*1e3:.2f} ms (aot)")
+        emit({
+            "p50_latency_ms_bs1": round(dt_f * 1e3, 3),
+            "p50_latency_path": "bf16",
+            "p50_latency_ms_bs1_bf16": round(dt_f * 1e3, 3),
+        })
+
     from object_detector_tpu.anchors.priors import ssd_anchors
     from object_detector_tpu.core.config import get_config
     from object_detector_tpu.models.ssd import SSDModel
@@ -71,18 +141,21 @@ def main():
     from object_detector_tpu.ops.postprocess import postprocess
 
     cfg = get_config("ssd300_vgg16_voc")
-    s = cfg.model.image_size
+    assert cfg.model.image_size == s
     on_tpu = jax.default_backend() == "tpu"
     model = SSDModel(cfg)
-    mark("init start")
-    variables = model.init(jax.random.key(0), jnp.zeros((1, s, s, 3)), train=False)
-    jax.block_until_ready(jax.tree.leaves(variables)[0])
-    mark("init done")
     anchors = jnp.asarray(ssd_anchors(cfg.anchors, s))
 
-    rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.integers(0, 255, (1, s, s, 3), dtype=np.uint8))
-    params = variables["params"]
+    if res is not None:
+        params = fast_p  # same seeded values (threefry is platform-det.)
+    else:
+        mark("init start")
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, s, s, 3)), train=False
+        )
+        jax.block_until_ready(jax.tree.leaves(variables)[0])
+        mark("init done")
+        params = variables["params"]
 
     @jax.jit
     def infer_f(p, x):
@@ -91,21 +164,22 @@ def main():
         det = postprocess(cls, box, anchors, cfg, use_pallas=on_tpu)
         return det.boxes, det.scores, det.classes, det.valid
 
-    from benchmarks.timing import fetch_overhead, timed
+    if res is None:
+        # Legacy bf16 path (pays the axon first-trace stall).
+        mark("bf16 compile+measure start")
+        dt_f = timed(infer_f, params, image, iters=100)
+        mark("bf16 measured")
+        fast_fn, fast_p = infer_f, params
+        print(f"bs=1 on-device latency bf16: {dt_f*1e3:.2f} ms")
+        emit({
+            "p50_latency_ms_bs1": round(dt_f * 1e3, 3),
+            "p50_latency_path": "bf16",
+            "p50_latency_ms_bs1_bf16": round(dt_f * 1e3, 3),
+        })
 
-    # 1) bf16 FIRST (production bs=1 path) — emit the primary p50 the
-    #    moment it exists.
-    mark("bf16 compile+measure start")
-    dt_f = timed(infer_f, params, image, iters=100)
-    mark("bf16 measured")
-    print(f"bs=1 on-device latency bf16: {dt_f*1e3:.2f} ms")
-    emit({
-        "p50_latency_ms_bs1": round(dt_f * 1e3, 3),
-        "p50_latency_path": "bf16",
-        "p50_latency_ms_bs1_bf16": round(dt_f * 1e3, 3),
-    })
-
-    # 2) int8 path second; primary only updates if it wins.
+    # 2) int8 path second; primary only updates if it wins. This traces
+    #    big programs (one-time axon chatter stall) — strictly AFTER the
+    #    primary p50 is in the record.
     from object_detector_tpu.quant import engine as qengine
 
     calib = aug_ops.normalize(
@@ -128,7 +202,7 @@ def main():
     mark("int8 measured")
     print(f"bs=1 on-device latency int8: {dt_i8*1e3:.2f} ms")
     if dt_f <= dt_i8:
-        dt, path, fast_fn, fast_p = dt_f, "bf16", infer_f, params
+        dt, path = dt_f, "bf16"
     else:
         dt, path, fast_fn, fast_p = dt_i8, "int8", infer, qp
     print(f"bs=1 p50 (primary, {path} path): {dt*1e3:.2f} ms")
