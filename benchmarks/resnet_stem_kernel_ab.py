@@ -58,9 +58,12 @@ def isolated(size: int) -> None:
         q = jnp.clip(jnp.round(y / s_out), -127, 127).astype(jnp.int8)
         return _pool(q, PoolOp(3, 2, explicit_pad=1))
 
+    chunk = int(os.environ.get("ODT_STEM_CHUNK", "16"))
+
     @jax.jit
     def fused(imgs):
-        return rsp.resnet_stem_int8(imgs, w_q, w_scale, bias, s_in, s_out)
+        return rsp.resnet_stem_int8(imgs, w_q, w_scale, bias, s_in, s_out,
+                                    chunk=chunk)
 
     a = jax.device_get(plain(images))
     b = jax.device_get(fused(images))

@@ -127,12 +127,15 @@ def stage_stem_input(images: Array, in_scale: float) -> Array:
     """
     b, h, w, c = images.shape
     assert c == 3 and w % 4 == 0, images.shape
-    x = jnp.pad(images, ((0, 0), (_PAD, _PAD), (0, 0), (0, 0)))
+    # Quantize FIRST so the relayout transpose moves int8, not f32: the
+    # f32-ordered version measured 2.43 ms at bs=64 (the 268 MB transpose
+    # was the whole staging cost and erased the kernel's win).
+    x = jnp.clip(jnp.round(images / in_scale), -127, 127).astype(jnp.int8)
+    x = jnp.pad(x, ((0, 0), (_PAD, _PAD), (0, 0), (0, 0)))
     # (B, H+6, W, 3) -> flat rows (B, H+6, 3W) -> (B, H+6, L, 12)
     x = x.reshape(b, h + 2 * _PAD, w // 4, 12)
     x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, _U - 12)))
     x = jnp.transpose(x, (0, 1, 3, 2))  # (B, H+6, 16, L)
-    x = jnp.clip(jnp.round(x / in_scale), -127, 127).astype(jnp.int8)
     return x.reshape(b, (h + 2 * _PAD) * _U, w // 4)
 
 
@@ -141,67 +144,94 @@ def stage_stem_input(images: Array, in_scale: float) -> Array:
 # ---------------------------------------------------------------------------
 
 def _stem_kernel(x_ref, a_ref, deq_ref, bias_ref, scale_ref, out_ref,
-                 r_m1, r_p1, s_buf, *, out_h: int, lanes: int):
+                 r_m1, r_p1, s_buf, b_buf, *, out_h: int, lanes: int,
+                 chunk: int):
     """One image: staged input -> pooled int8 (out_h/2 * 64, lanes).
 
     x_ref   (1, (2*out_h+6)*16, lanes) int8 — staged rows
-    a_ref   (3, 128, 128) int8 — packed weights, d order (-1, 0, +1)
+    a_ref   (128, 384) int8 — packed weights, K blocks d = (-1, 0, +1)
     deq_ref (128, 1) f32 — in_scale * w_scale[cout], parity-tiled
     bias_ref(128, 1) f32 — folded-BN bias, parity-tiled
-    scale_ref (1, 1) f32 in SMEM — out_scale
+    scale_ref (1, 1) f32 in SMEM — 1/out_scale as f32 (XLA strength-
+              reduces divide-by-constant to multiply-by-reciprocal — HLO
+              shows multiply at op_name=".../div" — so the kernel must
+              multiply by the same f32 reciprocal for bit-parity; a true
+              divide flips ~1e-6 of codes at rounding boundaries,
+              measured 71/67M on-chip r5)
     out_ref (1, (out_h//2)*64, lanes) int8 — (pool_row, cout) x lanes
     r_m1/r_p1 scratch: lane-rolled input copies (d = -1 / +1)
     s_buf scratch (out_h*64, lanes) int8 — x-pooled conv rows
+    b_buf scratch (384, chunk*lanes) int8 — im2col chunk staging
+
+    v2 (r5): the v1 row-loop issued 768 tiny (128,128,128) dots per image
+    and measured 0.70x vs plain XLA (chip_logs/stem_kernel_ab_v1.log —
+    MXU issue overhead dominated). v2 stages `chunk` output rows into one
+    im2col buffer (sliding-window slice copies are VPU moves) and issues
+    ONE (128,384)@(384,chunk*lanes) dot per chunk — out_h/chunk dots per
+    image total.
     """
-    li = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
-    x = x_ref[0]
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, chunk * lanes), 1) % lanes
+    # Mosaic only implements lane rotates on 32-bit data ("Rotate with
+    # non-32-bit data" — measured r5); roll an int32 widening and narrow
+    # back (two VPU convert passes over ~1 MB, negligible).
+    li1 = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    x32 = x_ref[0].astype(jnp.int32)
     # d=-1: lane l sources l-1 (positive roll by 1), lane 0 is x<0 pad.
-    r_m1[:] = jnp.where(li == 0, jnp.int8(0), pltpu.roll(x, 1, axis=1))
+    r_m1[:] = jnp.where(li1 == 0, 0, pltpu.roll(x32, 1, axis=1)).astype(jnp.int8)
     # d=+1: lane l sources l+1 (positive roll by lanes-1), last lane pad.
     r_p1[:] = jnp.where(
-        li == lanes - 1, jnp.int8(0), pltpu.roll(x, lanes - 1, axis=1)
-    )
+        li1 == lanes - 1, 0, pltpu.roll(x32, lanes - 1, axis=1)
+    ).astype(jnp.int8)
 
-    out_scale = scale_ref[0, 0]
-    a_m1 = a_ref[0]
-    a_0 = a_ref[1]
-    a_p1 = a_ref[2]
+    inv_s = scale_ref[0, 0]
+    a_cat = a_ref[:]
 
-    def conv_row(y, _):
-        row = pl.multiple_of(32 * y, 32)
-        acc = jnp.dot(a_0, x_ref[0, pl.ds(row, _K), :],
-                      preferred_element_type=jnp.int32)
-        acc += jnp.dot(a_m1, r_m1[pl.ds(row, _K), :],
-                       preferred_element_type=jnp.int32)
-        acc += jnp.dot(a_p1, r_p1[pl.ds(row, _K), :],
-                       preferred_element_type=jnp.int32)
+    def conv_chunk(ci, _):
+        y0 = ci * chunk
+        # im2col: B[128*di + k, lanes*j + c] = R_d[32*(y0+j) + k, c]
+        for j in range(chunk):
+            row = pl.multiple_of(32 * (y0 + j), 32)
+            col = j * lanes
+            b_buf[0:128, pl.ds(col, lanes)] = r_m1[pl.ds(row, 128), :]
+            b_buf[128:256, pl.ds(col, lanes)] = x_ref[0, pl.ds(row, 128), :]
+            b_buf[256:384, pl.ds(col, lanes)] = r_p1[pl.ds(row, 128), :]
+        acc = jnp.dot(a_cat, b_buf[:], preferred_element_type=jnp.int32)
         # Engine-identical epilogue: (acc*deq + bias) -> relu ->
-        # round(y/out_scale) -> clip -> int8 (divide, not
-        # multiply-by-reciprocal — bit-exactness vs run_int8).
+        # round(y * (1/out_scale)) -> clip -> int8 (reciprocal multiply,
+        # matching XLA's strength reduction of run_int8's divide).
         yf = acc.astype(jnp.float32) * deq_ref[:] + bias_ref[:]
         yf = jnp.maximum(yf, 0.0)
-        q = jnp.clip(jnp.round(yf / out_scale), -127, 127).astype(jnp.int8)
+        # int32 codes here: Mosaic legalizes neither int8 lane rotates nor
+        # int8 maxsi (both measured r5); narrowing happens only at the
+        # s_buf store. Same values bit-for-bit.
+        q = jnp.clip(jnp.round(yf * inv_s), -127, 127).astype(jnp.int32)
         e = q[0:64]
         o = q[64:128]
         # pool col c needs conv cols 2c-1 (= O[c-1]), 2c (= E[c]), 2c+1
-        # (= O[c]); left edge pads with -inf == int8 min.
-        o_sh = jnp.where(li == 0, jnp.int8(-128), pltpu.roll(o, 1, axis=1))
-        s_buf[pl.ds(64 * y, 64), :] = jnp.maximum(jnp.maximum(e, o), o_sh)
+        # (= O[c]); left edge pads with -inf == int8 min. One GLOBAL roll
+        # serves every lane group: the cross-group leak lands only in
+        # masked (c==0) lanes.
+        o_sh = jnp.where(li == 0, -128, pltpu.roll(o, 1, axis=1))
+        s3 = jnp.maximum(jnp.maximum(e, o), o_sh).astype(jnp.int8)
+        for j in range(chunk):
+            s_buf[pl.ds(64 * (y0 + j), 64), :] = s3[:, j * lanes:(j + 1) * lanes]
         return 0
 
-    jax.lax.fori_loop(0, out_h, conv_row, 0, unroll=2)
+    jax.lax.fori_loop(0, out_h // chunk, conv_chunk, 0)
 
     def pool_row(p_r, _):
         # rows 2p-1 (clamped: max(mid,mid,bot) == max(mid,bot), exactly
         # the -inf top pad), 2p, 2p+1.
         top = jnp.maximum(2 * p_r - 1, 0)
-        t = s_buf[pl.ds(64 * top, 64), :]
-        m = s_buf[pl.ds(64 * (2 * p_r), 64), :]
-        b_ = s_buf[pl.ds(64 * (2 * p_r + 1), 64), :]
-        out_ref[0, pl.ds(64 * p_r, 64), :] = jnp.maximum(jnp.maximum(t, m), b_)
+        t = s_buf[pl.ds(64 * top, 64), :].astype(jnp.int32)
+        m = s_buf[pl.ds(64 * (2 * p_r), 64), :].astype(jnp.int32)
+        b_ = s_buf[pl.ds(64 * (2 * p_r + 1), 64), :].astype(jnp.int32)
+        out_ref[0, pl.ds(64 * p_r, 64), :] = jnp.maximum(
+            jnp.maximum(t, m), b_
+        ).astype(jnp.int8)
         return 0
 
-    jax.lax.fori_loop(0, out_h // 2, pool_row, 0, unroll=2)
+    jax.lax.fori_loop(0, out_h // 2, pool_row, 0)
 
 
 def stem_conv_pool(
@@ -212,6 +242,7 @@ def stem_conv_pool(
     out_scale: float,
     *,
     image_hw: int,
+    chunk: int = 64,
     interpret: bool | None = None,
 ) -> Array:
     """Staged int8 (B, (H+6)*16, W/4) -> pooled int8 (B, H/4, W/4, 64).
@@ -231,9 +262,16 @@ def stem_conv_pool(
 
     deq2 = jnp.tile(deq.astype(jnp.float32).reshape(64), 2).reshape(128, 1)
     bias2 = jnp.tile(bias.astype(jnp.float32).reshape(64), 2).reshape(128, 1)
-    scale = jnp.full((1, 1), float(out_scale), jnp.float32)
+    scale = jnp.full(
+        (1, 1), np.float32(1.0) / np.float32(out_scale), jnp.float32
+    )
 
-    kernel = functools.partial(_stem_kernel, out_h=out_h, lanes=lanes)
+    while out_h % chunk:
+        chunk //= 2
+    a_cat = jnp.concatenate([a_packed[0], a_packed[1], a_packed[2]], axis=1)
+    kernel = functools.partial(
+        _stem_kernel, out_h=out_h, lanes=lanes, chunk=chunk
+    )
     flops = 2 * b * out_h * 3 * 128 * _K * lanes
     out = pl.pallas_call(
         kernel,
@@ -241,7 +279,7 @@ def stem_conv_pool(
         in_specs=[
             pl.BlockSpec((1, (h + 2 * _PAD) * _U, lanes),
                          lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 128, _K), lambda i: (0, 0, 0),
+            pl.BlockSpec((128, 3 * _K), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -259,6 +297,7 @@ def stem_conv_pool(
             pltpu.VMEM(((h + 2 * _PAD) * _U, lanes), jnp.int8),
             pltpu.VMEM(((h + 2 * _PAD) * _U, lanes), jnp.int8),
             pltpu.VMEM((out_h * 64, lanes), jnp.int8),
+            pltpu.VMEM((3 * _K, chunk * lanes), jnp.int8),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -266,7 +305,7 @@ def stem_conv_pool(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_staged, a_packed, deq2, bias2, scale)
+    )(x_staged, a_cat, deq2, bias2, scale)
     # (B, P*64, L) -> (B, P, 64, L) -> NHWC (B, P, L, 64)
     out = out.reshape(b, out_h // 2, 64, lanes)
     return jnp.transpose(out, (0, 1, 3, 2))
@@ -279,6 +318,7 @@ def resnet_stem_int8(
     bias: Array,
     in_scale: float,
     out_scale: float,
+    chunk: int = 64,
     interpret: bool | None = None,
 ) -> Array:
     """Full fused path: normalized float images -> pooled int8 stem output.
@@ -293,5 +333,5 @@ def resnet_stem_int8(
     deq = in_scale * jnp.asarray(w_scale, jnp.float32)
     return stem_conv_pool(
         x_staged, a, deq, jnp.asarray(bias, jnp.float32), out_scale,
-        image_hw=h, interpret=interpret,
+        image_hw=h, chunk=chunk, interpret=interpret,
     )
