@@ -44,6 +44,20 @@ The kernel also swallows the input-quantize pass: staging fuses
 quantize + y-pad + (U,L) relayout into one XLA elementwise+transpose,
 so the engine's separate `clip(round(images/in_scale))` over 64 MB
 never materializes for this path.
+
+STATUS (r5, v5e-1, bs=64 — chip_logs/stem_kernel_ab_v1.log,
+stem_kernel_ab_v2_sweep.log, stem_kernel_ab_final.log): OFF by default.
+v1 (768 small dots/img) 0.70x; v2 chunked im2col + quantize-first
+staging: ISOLATED 1.31-1.41x vs the plain chain, bit-exact on-chip — but
+END-TO-END a wash-to-slight-loss (SSD-512 0.977x, RetinaNet 0.995x,
+ABAB x2): the in-program profile (10-iter device trace) charges the
+stem pallas_call ~5.9 ms vs 1.58 ms isolated plus ~3 ms of staging
+reshape/slice/convert that fuse away in isolation — the pallas_call
+boundary breaks XLA's fusion of the staging chain and the producer
+overlap the plain conv enjoys. The Mosaic-level line is now MEASURED:
+the kernel beats XLA's direct conv on raw op cost but loses the
+integration. Revisit only with a formulation that consumes the raw
+uint8/f32 image directly (staging inside the kernel via DMA).
 """
 
 from __future__ import annotations
@@ -262,8 +276,14 @@ def stem_conv_pool(
 
     deq2 = jnp.tile(deq.astype(jnp.float32).reshape(64), 2).reshape(128, 1)
     bias2 = jnp.tile(bias.astype(jnp.float32).reshape(64), 2).reshape(128, 1)
-    scale = jnp.full(
-        (1, 1), np.float32(1.0) / np.float32(out_scale), jnp.float32
+    # jnp (not np) so a TRACED out_scale (QuantParams under jit — the
+    # serving path) works; with a concrete float XLA folds this to the
+    # identical f32 reciprocal constant. Traced scales mean the engine's
+    # plain arm divides while we multiply — ~1e-6 of codes may differ by
+    # 1 at rounding boundaries there (bit-parity is proven on the
+    # concrete-scale path: isolated A/B + tests).
+    scale = jnp.reshape(
+        jnp.float32(1.0) / jnp.asarray(out_scale, jnp.float32), (1, 1)
     )
 
     while out_h % chunk:
