@@ -28,20 +28,38 @@ from object_detector_tpu.ops.postprocess import postprocess
 from object_detector_tpu.quant import engine as qengine
 
 
-def main(bs: int = 32) -> None:
+def main(bs: int = 64) -> None:
+    # bs defaults to 64 — the headline row flipped there in r4
+    # (chip_logs/retinanet_bs64_ab.log); keep the dumped program == the
+    # headline program (ADVICE r4 #4).
     cfg, model, variables, anchors, images = h._setup("retinanet_fpn_coco", bs)
     calib = aug_ops.normalize(images[:8].astype(jnp.float32) / 255.0)
     qp, spec = qengine.quantize_retinanet(cfg, variables, [calib])
     forward = qengine.retinanet_int8_forward
     qp = jax.device_put(qp)
 
-    @jax.jit
-    def infer(q, x_u8):
-        imgs = aug_ops.normalize(x_u8.astype(jnp.float32) / 255.0)
-        cls, box = forward(q, spec, cfg, imgs)
-        det = postprocess(cls, box, anchors, cfg, use_pallas=True)
-        return det.boxes, det.scores, det.classes, det.valid
+    # Mirror headline._bench_int8's postprocess-path selection exactly so
+    # the dump stays the headline program even if per_level_heads flips.
+    per_level = cfg.eval.per_level_heads and "fpn/lateral3" in qp.w_int8
+    if per_level:
+        from object_detector_tpu.ops.postprocess import postprocess_levels
 
+        @jax.jit
+        def infer(q, x_u8):
+            imgs = aug_ops.normalize(x_u8.astype(jnp.float32) / 255.0)
+            lvl_cls, lvl_box = forward(q, spec, cfg, imgs, concat_heads=False)
+            det = postprocess_levels(lvl_cls, lvl_box, anchors, cfg)
+            return det.boxes, det.scores, det.classes, det.valid
+
+    else:
+        @jax.jit
+        def infer(q, x_u8):
+            imgs = aug_ops.normalize(x_u8.astype(jnp.float32) / 255.0)
+            cls, box = forward(q, spec, cfg, imgs)
+            det = postprocess(cls, box, anchors, cfg, use_pallas=True)
+            return det.boxes, det.scores, det.classes, det.valid
+
+    print(f"program: retinanet_fpn_coco bs={bs} per_level={per_level}")
     txt = infer.lower(qp, images).compile().as_text()
     pat = re.compile(r"custom_call_target=\"([^\"]+)\"")
     for line in txt.splitlines():
@@ -57,4 +75,4 @@ def main(bs: int = 32) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 64)
