@@ -61,9 +61,16 @@ def run_preset(preset: str, num_images: int) -> dict:
         )
         m = evaluate_dataset(cfg, model, variables, dataset, int8=True)
         results["exact" if exact else "approx"] = m
+        dets = _collect_detections(cfg, model, variables, dataset)
+        results[("exact" if exact else "approx") + "_dets"] = dets
         print(f"[{preset}] exact_prefilter={exact}: "
               f"{json.dumps({k: round(v, 6) for k, v in m.items()})}",
               flush=True)
+    det_cmp = _compare_detections(
+        results.pop("exact_dets"), results.pop("approx_dets")
+    )
+    print(f"[{preset}] detection-level diff: {json.dumps(det_cmp)}",
+          flush=True)
     keys = sorted(set(results["exact"]) & set(results["approx"]))
     diffs = {k: abs(results["exact"][k] - results["approx"][k]) for k in keys}
     worst = max(diffs, key=diffs.get) if diffs else None
@@ -71,11 +78,73 @@ def run_preset(preset: str, num_images: int) -> dict:
         "preset": preset,
         "max_abs_map_diff": max(diffs.values()) if diffs else None,
         "worst_metric": worst,
+        "detection_diff": det_cmp,
         "exact": results["exact"],
         "approx": results["approx"],
     }
     print(json.dumps(summary), flush=True)
     return summary
+
+
+def _collect_detections(cfg, model, variables, dataset):
+    """Raw valid detections (boxes, scores, classes) for every image.
+
+    Detection-level comparison is strictly more sensitive than mAP: the
+    adversarial random-init corpus scores mAP 0.0 in BOTH arms (no
+    detection overlaps GT), which proves nothing — while a per-detection
+    diff catches any candidate the approx prefilter drops or reorders.
+    """
+    import numpy as np
+
+    from object_detector_tpu.anchors.priors import anchors_for_model
+    from object_detector_tpu.data.pipeline import DecodedCache
+    from object_detector_tpu.eval.evaluator import make_int8_predict_fn
+
+    s = cfg.model.image_size
+    anchors = anchors_for_model(cfg.model.family, cfg.anchors, s)
+    cache = DecodedCache(dataset, s, cfg.data.max_boxes, num_workers=2)
+    idx = np.arange(len(dataset))
+    batch = cache.gather(idx)
+    images = jnp.asarray(batch["image"])
+    predict = make_int8_predict_fn(cfg, variables, anchors, batch["image"][:8])
+    out = []
+    bs = cfg.eval.batch_size
+    for i in range(0, len(idx), bs):
+        chunk = images[i:i + bs]
+        if chunk.shape[0] < bs:  # pad tail
+            pad = bs - chunk.shape[0]
+            chunk = jnp.concatenate([chunk, chunk[:pad]], 0)[:bs]
+        det = predict(chunk)
+        out.append(jax.device_get(
+            (det.boxes, det.scores, det.classes, det.valid)
+        ))
+    return out
+
+
+def _compare_detections(a_list, b_list):
+    import numpy as np
+
+    n_total = n_valid_mismatch = n_cell_diff = 0
+    max_dscore = 0.0
+    max_dbox = 0.0
+    for (ab, asr, ac, av), (bb, bsr, bc, bv) in zip(a_list, b_list):
+        n_total += int(av.sum())
+        n_valid_mismatch += int((av != bv).sum())
+        both = av & bv
+        n_cell_diff += int((both & ((ac != bc) |
+                            (np.abs(asr - bsr) > 1e-6))).sum())
+        if both.any():
+            max_dscore = max(max_dscore,
+                             float(np.abs((asr - bsr))[both].max()))
+            max_dbox = max(max_dbox,
+                           float(np.abs((ab - bb))[both].max()))
+    return {
+        "total_valid_dets_exact": n_total,
+        "valid_mask_mismatches": n_valid_mismatch,
+        "paired_class_or_score_diffs": n_cell_diff,
+        "max_abs_score_diff": round(max_dscore, 8),
+        "max_abs_box_coord_diff": round(max_dbox, 8),
+    }
 
 
 def main() -> None:
