@@ -121,7 +121,10 @@ class ModelConfig:
     # ~2 ms of the cheapest convs; dropping the buffers trades that
     # recompute for HBM headroom/scheduling slack in the 77%-conv
     # backward. Gradients are unchanged (same ops recomputed in the same
-    # dtype). STATUS: pending on-chip A/B (train_bench.py --remat-block1).
+    # dtype). STATUS: MEASURED LOSS on v5e-1 (r5, ABAB x2:
+    # 0.945x at bs=32, 0.939x at bs=64 — chip_logs/r5_pricing_ab.log):
+    # the recompute is pure cost at these batch sizes; the memory
+    # pressure it relieves was not binding. Stays OFF; see DEADENDS.md.
     remat_block1: bool = False
 
     @property

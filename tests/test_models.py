@@ -86,6 +86,8 @@ def test_resnet_batch_stats_update():
     assert changed, "BatchNorm running stats did not update in train mode"
 
 
+@pytest.mark.slow  # ~20 s of XLA:CPU compile; knob priced on-chip r5
+# (chip_logs/r5_pricing_ab.log) — default-tier re-budget, VERDICT r4 #9
 def test_remat_block1_identical_values_and_grads():
     """remat_block1 recomputes the same ops in the same dtype, so params,
     forward outputs AND gradients must be bitwise identical to the plain
